@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions._
+
+/**
+ * Cell-cover spatial join — the engine's core operator (SURVEY §2.3 J1/J2).
+ *
+ * The reference computes AOI×tile-grid intersection as an O(N·M) per-row
+ * shapely loop, flagged "takes too long"
+ * (`master_Search_Discover_example.ipynb` cells 10/63/157). Here both sides
+ * are encoded to spatial cells at resolution `res`, equi-joined on the cell
+ * id, then refined with an exact JTS intersects.
+ *
+ * Scale design (100 TB posture):
+ *  - The dimension side (tile grid, ≤ ~60k polygons) is `broadcast()` —
+ *    the probe (doc) side is touched only by narrow operators: a cell-cover
+ *    projection, an explode, a broadcast hash join, a codegen'd filter.
+ *    **Zero shuffles** over the big side.
+ *  - Candidate-pair dedup (a pair sharing k cells appears k times) is done
+ *    *without* a shuffle: a pair is kept only on the smallest shared cell
+ *    (`cell == array_min(array_intersect(cells, tcells))`), the classic
+ *    reporting-cell trick. `dropDuplicates` (an exchange over the full join
+ *    output) is never needed.
+ *  - If the dimension side outgrows broadcast, `shuffled = true` switches to
+ *    a shuffle hash/SMJ equi-join on the cell id; AQE skew-join splitting
+ *    plus optional explicit salting (`saltBuckets > 1`) handle dense
+ *    acquisition cells (Fiji hotspot).
+ */
+object SpatialJoin {
+
+  /**
+   * @param probe   big side; must carry `probeWkt` column
+   * @param dim     small side; must carry `dimWkt` column
+   * @param res     cell resolution (2^res × 2^res world grid)
+   * @param shuffled force the shuffle path (dimension too big to broadcast)
+   * @param saltBuckets >1 adds an explicit salt to the cell key on the probe
+   *                side and explodes the dim side ×S — skew insurance beyond
+   *                AQE's shuffle-granularity splitting
+   */
+  def intersectJoin(probe: DataFrame, probeWkt: String,
+                    dim: DataFrame, dimWkt: String,
+                    res: Int, shuffled: Boolean = false,
+                    saltBuckets: Int = 1): DataFrame = {
+    val p = probe.withColumn("__cells", cellCoverUdf(col(probeWkt), lit(res)))
+    val d = dim.withColumn("__tcells", cellCoverUdf(col(dimWkt), lit(res)))
+
+    val (pk, dk) =
+      if (saltBuckets <= 1)
+        (p.withColumn("__cell", explode(col("__cells"))),
+         d.withColumn("__cell", explode(col("__tcells"))))
+      else {
+        // probe rows get one deterministic salt; dim rows replicate ×S
+        val salted = p.withColumn("__salt", pmod(xxhash64(col(probeWkt)), lit(saltBuckets)))
+          .withColumn("__cell0", explode(col("__cells")))
+          .withColumn("__cell", concat_ws(":", col("__cell0"), col("__salt")))
+        val dimRep = d.withColumn("__salt", explode(lit((0 until saltBuckets).toArray)))
+          .withColumn("__cell0", explode(col("__tcells")))
+          .withColumn("__cell", concat_ws(":", col("__cell0"), col("__salt")))
+        (salted.drop("__cell0", "__salt"), dimRep.drop("__cell0", "__salt"))
+      }
+
+    val dimSide = if (shuffled) dk else broadcast(dk)
+    pk.join(dimSide, "__cell")
+      // shuffle-free dedup: emit the pair only on the min shared cell
+      .where(
+        (if (saltBuckets <= 1) col("__cell")
+         else split(col("__cell"), ":").getItem(0).cast("long"))
+          === array_min(array_intersect(col("__cells"), col("__tcells"))))
+      // exact geometric refine (reference: shapely intersects, cell 10)
+      .where(stIntersectsUdf(col(dimWkt), col(probeWkt)))
+      .drop("__cell", "__cells", "__tcells")
+  }
+}

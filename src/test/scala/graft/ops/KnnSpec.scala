@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.geom.Geo
+import graft.model.SynthCorpus
+
+/** kNN (k-ring probe) ≡ brute-force nearest tiles (SURVEY §5.2c). */
+class KnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val tiles = SynthCorpus.tileGrid(spark).drop("path", "row")
+  private lazy val tileSeq = tiles.as[(String, String)].collect()
+
+  test("k=3 nearest tiles match brute force; k=1 distance minimal") {
+    val rnd = new scala.util.Random(99)
+    val pts = (0 until 250).map { i =>
+      (s"d$i", rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 180 - 90)
+    }
+    val df = pts.toDF("doc_id", "lon", "lat")
+    val got = Knn.nearestTiles(df, tiles, k = 3, res = 3, ring = 1)
+      .select($"doc_id", $"rank", $"tile_id").as[(String, Int, String)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    pts.foreach { case (id, lon, lat) =>
+      val byDist = tileSeq.map { case (tid, twkt) =>
+        (tid, Geo.pointGeomDistance(lon, lat, twkt))
+      }.sortBy { case (tid, d) => (d, tid) }
+      val expected = byDist.take(3).map(_._1).toSeq
+      assert(got(id) == expected, s"doc $id at ($lon,$lat)")
+    }
+  }
+}
