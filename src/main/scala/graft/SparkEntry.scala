@@ -31,6 +31,15 @@ object SparkEntry {
     "geo_assign_spans" -> ((s, d) => GeoQueries.assignSpans(s, d)),
     "geo_cell_encode" -> ((s, d) => GeoQueries.cellEncode(s, d)),
     // --- relational plane (SURVEY §2.2-2.7) ---
+    // --- pixel plane: wofs / masks / composites (SURVEY §2.4, §2.9) ---
+    "px_wofs" -> ((s, d) => PixelQueries.wofs(s, d)),
+    "px_wofs_s2" -> ((s, d) => PixelQueries.wofsS2(s, d)),
+    "px_mean" -> ((s, d) => PixelQueries.mean(s, d)),
+    "px_median" -> ((s, d) => PixelQueries.median(s, d)),
+    "px_recent" -> ((s, d) => PixelQueries.recent(s, d)),
+    "px_maxndvi" -> ((s, d) => PixelQueries.maxNdvi(s, d)),
+    "px_summary" -> ((s, d) => PixelQueries.summary(s, d)),
+    // --- relational plane (SURVEY §2.2-2.7) ---
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
     "q2_join" -> ((s, d) => Relational.q2(s, d)),
     "q3_semijoin" -> ((s, d) => Relational.q3(s, d)),
@@ -93,6 +102,49 @@ object SparkEntry {
          |       cast(floor((xmin + 0.75 + 180.0) / 360.0 * 32) AS bigint) AS cx,
          |       cast(floor((ymin + 0.5  + 90.0) / 180.0 * 32) AS bigint) AS cy
          |FROM scenes""".stripMargin,
+    "px_wofs" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT l_orderkey, l_linenumber,
+         |       ${ops.Wofs.classifySql(ops.CleanMask.landsatSql("LANDSAT_7", "pixel_qa"))} AS wofs
+         |FROM px""".stripMargin,
+    "px_wofs_s2" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT l_orderkey, l_linenumber,
+         |       ${ops.Wofs.classifySql(ops.CleanMask.s2Sql("scene_classification"))} AS wofs
+         |FROM px""".stripMargin,
+    "px_mean" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT py, px, avg(CASE WHEN red2 <> -9999 THEN red2 END) AS mean_v
+         |FROM px GROUP BY py, px""".stripMargin,
+    "px_median" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT py, px, median(CASE WHEN red2 <> -9999 THEN red2 END) AS median_v
+         |FROM px GROUP BY py, px""".stripMargin,
+    "px_recent" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT py, px, l_orderkey, l_linenumber, red2 FROM (
+         |  SELECT py, px, l_orderkey, l_linenumber, red2,
+         |         row_number() OVER (PARTITION BY py, px
+         |             ORDER BY ts DESC, l_orderkey DESC, l_linenumber DESC, red2 DESC) AS rn
+         |  FROM px WHERE red2 <> -9999) WHERE rn = 1""".stripMargin,
+    "px_maxndvi" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT py, px, best_ndvi, blue, nir, red FROM (
+         |  SELECT py, px, ${ops.Composites.ndviSql} AS best_ndvi, blue, nir, red,
+         |         row_number() OVER (PARTITION BY py, px
+         |             ORDER BY ${ops.Composites.ndviSql} DESC,
+         |                      l_orderkey DESC, l_linenumber DESC) AS rn
+         |  FROM px) WHERE rn = 1""".stripMargin,
+    "px_summary" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT py, px,
+         |       cast(sum(CASE WHEN red2 <> -9999 THEN red2 ELSE 0 END) AS double) AS total_data,
+         |       count(CASE WHEN red2 <> -9999 THEN 1 END) AS total_clean,
+         |       cast(sum(CASE WHEN red2 <> -9999 THEN red2 ELSE 0 END) AS double)
+         |         / count(CASE WHEN red2 <> -9999 THEN 1 END) AS normalized,
+         |       cast(min(CASE WHEN red2 <> -9999 THEN red2 END) AS double) AS v_min,
+         |       cast(max(CASE WHEN red2 <> -9999 THEN red2 END) AS double) AS v_max
+         |FROM px GROUP BY py, px""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
@@ -212,6 +264,47 @@ object GeoQueries {
     scenesFromOrders(s, dir)
       .withColumn("c", enc(col("xmin") + 0.75, col("ymin") + 0.5))
       .select(col("doc_id"), col("c._1").as("cx"), col("c._2").as("cy"))
+  }
+}
+
+/** Pixel-plane queries: wofs classification, masks, composites, summary —
+  * the engine forms of `dc_water_classifier` / `dc_mosaic` / `dc_utilities`
+  * over the lineitem-derived synthetic pixel table. */
+object PixelQueries {
+  import graft.ops._
+
+  private def px(s: SparkSession, d: String) = Pixels.pixels(s, d)
+
+  def wofs(s: SparkSession, d: String): DataFrame =
+    px(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      Wofs.classify(CleanMask.landsatColumn("LANDSAT_7", col("pixel_qa"))).as("wofs"))
+
+  def wofsS2(s: SparkSession, d: String): DataFrame =
+    px(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      Wofs.classify(CleanMask.s2Column(col("scene_classification"))).as("wofs"))
+
+  def mean(s: SparkSession, d: String): DataFrame =
+    Composites.meanComposite(px(s, d), Seq("py", "px"), "red2")
+
+  def median(s: SparkSession, d: String): DataFrame =
+    Composites.medianComposite(px(s, d), Seq("py", "px"), "red2")
+
+  def recent(s: SparkSession, d: String): DataFrame =
+    Composites.mostRecentValid(px(s, d), Seq("py", "px"), "ts",
+      carried = Seq("l_orderkey", "l_linenumber", "red2"), v = "red2")
+      .select("py", "px", "l_orderkey", "l_linenumber", "red2")
+
+  def maxNdvi(s: SparkSession, d: String): DataFrame =
+    Composites.maxNdviComposite(px(s, d), Seq("py", "px"),
+      tieBreak = Seq("l_orderkey", "l_linenumber"), bands = Seq("blue", "nir", "red"))
+      .select("py", "px", "best_ndvi", "blue", "nir", "red")
+
+  def summary(s: SparkSession, d: String): DataFrame = {
+    val agg = udaf(WofsStatsAgg)
+    px(s, d).groupBy("py", "px").agg(agg(col("red2").cast("double")).as("st"))
+      .select(col("py"), col("px"), col("st.total_data").as("total_data"),
+        col("st.total_clean").as("total_clean"), col("st.normalized").as("normalized"),
+        col("st.min").as("v_min"), col("st.max").as("v_max"))
   }
 }
 
