@@ -39,6 +39,18 @@ object SparkEntry {
     "px_recent" -> ((s, d) => PixelQueries.recent(s, d)),
     "px_maxndvi" -> ((s, d) => PixelQueries.maxNdvi(s, d)),
     "px_summary" -> ((s, d) => PixelQueries.summary(s, d)),
+    // --- training-data pipeline: dedup / text / ANN / media ---
+    "dd_exact" -> ((s, d) => TrainQueries.ddExact(s, d)),
+    "dd_norm" -> ((s, d) => TrainQueries.ddNorm(s, d)),
+    "dd_minhash" -> ((s, d) => TrainQueries.ddMinhash(s, d)),
+    "dd_simhash" -> ((s, d) => TrainQueries.ddSimhash(s, d)),
+    "txt_quality" -> ((s, d) => TrainQueries.txtQuality(s, d)),
+    "txt_lang" -> ((s, d) => TrainQueries.txtLang(s, d)),
+    "txt_fingerprint" -> ((s, d) => TrainQueries.txtFingerprint(s, d)),
+    "ann_topk" -> ((s, d) => TrainQueries.annTopK(s, d)),
+    "ann_lsh" -> ((s, d) => TrainQueries.annLsh(s, d)),
+    "ann_neardup" -> ((s, d) => TrainQueries.annNearDup(s, d)),
+    "media_decode" -> ((s, d) => TrainQueries.mediaDecode(s, d)),
     // --- relational plane (SURVEY §2.2-2.7) ---
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
     "q2_join" -> ((s, d) => Relational.q2(s, d)),
@@ -145,6 +157,42 @@ object SparkEntry {
          |       cast(min(CASE WHEN red2 <> -9999 THEN red2 END) AS double) AS v_min,
          |       cast(max(CASE WHEN red2 <> -9999 THEN red2 END) AS double) AS v_max
          |FROM px GROUP BY py, px""".stripMargin,
+    "dd_exact" ->
+      """WITH d2 AS (SELECT doc_id, text FROM documents
+        |            UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT md5(text) AS key, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM d2 GROUP BY md5(text)""".stripMargin,
+    "dd_norm" ->
+      """WITH d2 AS (SELECT doc_id, text FROM documents
+        |            UNION ALL SELECT doc_id + 1000000,
+        |                array_to_string(list_reverse(string_split(text, ' ')), ' ') FROM documents)
+        |SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ',')) AS key,
+        |       min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM d2 GROUP BY 1""".stripMargin,
+    "txt_quality" -> {
+      val cols = graft.text.TextOps.qualitySqls("text")
+        .map { case (n, e) => s"$e AS $n" }.mkString(",\n       ")
+      s"""SELECT doc_id,
+         |       $cols
+         |FROM documents""".stripMargin
+    },
+    "txt_lang" ->
+      s"""SELECT doc_id, ${graft.text.TextOps.langIdSql("text")} AS lang_pred
+         |FROM documents""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents""",
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id,
+        |           list_transform(embedding, x -> floor(cast(x AS double) * 1024)) AS qe
+        |           FROM embeddings),
+        |cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |                cast(list_dot_product(p.qe, c.qe) AS bigint) AS dot
+        |         FROM q p JOIN q c ON p.vec_id < 100 AND p.vec_id <> c.vec_id)
+        |SELECT probe_id, rank, neighbor_id, dot FROM (
+        |  SELECT probe_id, neighbor_id, dot,
+        |         row_number() OVER (PARTITION BY probe_id
+        |                            ORDER BY dot DESC, neighbor_id) AS rank
+        |  FROM cand) WHERE rank <= 3""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
@@ -305,6 +353,89 @@ object PixelQueries {
       .select(col("py"), col("px"), col("st.total_data").as("total_data"),
         col("st.total_clean").as("total_clean"), col("st.normalized").as("normalized"),
         col("st.min").as("v_min"), col("st.max").as("v_max"))
+  }
+}
+
+/** Training-data pipeline queries: dedup, text analysis, similarity search,
+  * media plumbing over the documents/embeddings tables. */
+object TrainQueries {
+  import graft.dedup.Dedup
+  import graft.text.TextOps
+  import graft.ann.Ann
+
+  private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
+
+  /** documents ∪ identical copy (shifted ids): exact dedup must pair them. */
+  def ddExact(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val dup = base.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    Dedup.exact(base.unionByName(dup), "doc_id", "text")
+  }
+
+  /** documents ∪ word-reversed copy: normalized (token-multiset) dedup pairs
+    * them while exact dedup would not. */
+  def ddNorm(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val rev = base.select((col("doc_id") + 1000000).as("doc_id"),
+      concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    Dedup.normalized(base.unionByName(rev), "doc_id", "text")
+  }
+
+  /** documents ∪ lightly-mutated copy: MinHash-LSH must find the pairs
+    * (no SQL oracle — checked against brute force in DedupSpec). */
+  private def mutatedCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text")).where(col("doc_id") < 200)
+    val mut = base.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(lit("zzz "), substring(col("text"), 5, 100000)).as("text"))
+    base.unionByName(mut)
+  }
+
+  def ddMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(mutatedCorpus(s, d), "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def ddSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(mutatedCorpus(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  def txtQuality(s: SparkSession, d: String): DataFrame = {
+    val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+    docs(s, d).select(col("doc_id") +: cols: _*)
+  }
+
+  def txtLang(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+
+  def txtFingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+
+  def annTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Ann.quantizedDotTopK(e.where(col("vec_id") < 100), e, k = 3)
+  }
+
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Ann.lshTopK(e.where(col("vec_id") < 100), e, k = 3, dim = 64, tables = 16, bits = 4)
+  }
+
+  def annNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).select(col("vec_id"), col("embedding"))
+    val dup = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    Ann.cosineNearDups(e.unionByName(dup), dim = 64, threshold = 0.999)
+      .orderBy("id_a", "id_b")
+  }
+
+  def mediaDecode(s: SparkSession, d: String): DataFrame = {
+    val scenes = graft.model.SynthCorpus.scenesFromOrders(s, d)
+      .withColumn("platform", lit("SENTINEL_2"))
+      .limit(500)
+    val withSpans = graft.model.SynthCorpus.withSpansColumn(scenes)
+    graft.media.Media.decodeBandSpans(withSpans.select(col("doc_id").cast("string").as("doc_id"), col("spans")))
+      .select(col("doc_id"), col("band"), col("offset"),
+        col("meta.width"), col("meta.height"), col("meta.channels"),
+        size(col("features")).as("n_features"))
   }
 }
 

@@ -1,0 +1,101 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal (media) column plumbing: media payloads are opaque `binary`
+ * columns referenced by `spans.media_ref` (the reference's
+ * `image.bands.<band>.path` COG pointers, `utils/prepS2.py:352-356`,
+ * resolved at `utils/genprepWater.py:204`).
+ *
+ * The Spark-side plumbing — schema, batching, partitioning, typed decode
+ * signatures — is real and tested. The *codec* itself is a clearly-marked
+ * deterministic STUB (this container ships no image/audio libraries): a
+ * synthetic header-encoded payload replaces real COG bytes, and "decode"
+ * parses that header. Swapping in a real decoder changes only the two
+ * functions marked STUB.
+ */
+object Media {
+
+  /** STUB payload generator: deterministic pseudo-raster bytes for a
+    * media_ref. Layout: [w:2B][h:2B][ch:1B][body: w*h*ch bytes from an
+    * xorshift stream seeded by the ref hash]. Stands in for `binaryFile`
+    * reads of COG chunks (SURVEY §2.1 S6). */
+  def fakePayload(mediaRef: String, w: Int, h: Int, ch: Int): Array[Byte] = {
+    val body = new Array[Byte](5 + w * h * ch)
+    body(0) = (w >> 8).toByte; body(1) = w.toByte
+    body(2) = (h >> 8).toByte; body(3) = h.toByte
+    body(4) = ch.toByte
+    var s: Long = mediaRef.hashCode.toLong * 2654435761L + 1
+    var i = 5
+    while (i < body.length) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      body(i) = s.toByte
+      i += 1
+    }
+    body
+  }
+
+  val fakePayloadUdf = udf((ref: String) =>
+    fakePayload(ref, 16 + math.abs(ref.hashCode % 17), 16 + math.abs(ref.hashCode % 13), 3))
+
+  case class MediaMeta(width: Int, height: Int, channels: Int, n_bytes: Long)
+
+  /** STUB decode: parse the fake header. Real impl: image codec here. */
+  def decodeMeta(bytes: Array[Byte]): MediaMeta = {
+    require(bytes.length >= 5, "truncated media payload")
+    val w = ((bytes(0) & 0xFF) << 8) | (bytes(1) & 0xFF)
+    val h = ((bytes(2) & 0xFF) << 8) | (bytes(3) & 0xFF)
+    MediaMeta(w, h, bytes(4) & 0xFF, bytes.length.toLong)
+  }
+  val decodeMetaUdf = udf(decodeMeta _)
+
+  /** Per-channel mean "feature vector" over the body bytes — the
+    * deterministic stand-in for embedding/feature extraction; shape and
+    * batching are what a real extractor would use. */
+  def extractFeatures(bytes: Array[Byte]): Array[Float] = {
+    val m = decodeMeta(bytes)
+    val sums = new Array[Long](m.channels)
+    val counts = new Array[Long](m.channels)
+    var i = 5
+    var c = 0
+    while (i < bytes.length) {
+      sums(c) += (bytes(i) & 0xFF)
+      counts(c) += 1
+      c = (c + 1) % m.channels
+      i += 1
+    }
+    Array.tabulate(m.channels)(c => if (counts(c) == 0) 0f else (sums(c).toDouble / counts(c)).toFloat / 255f)
+  }
+  val extractFeaturesUdf = udf(extractFeatures _)
+
+  /** Sample n evenly-spaced "frames" (row blocks) — the frame-sample shape
+    * for video-like payloads; returns the raw slices. */
+  def frameSample(bytes: Array[Byte], n: Int): Array[Array[Byte]] = {
+    val m = decodeMeta(bytes)
+    val rowBytes = m.width * m.channels
+    if (rowBytes == 0 || m.height == 0) return Array.empty
+    (0 until n).map { i =>
+      val row = (i.toLong * m.height / n).toInt
+      val from = 5 + row * rowBytes
+      java.util.Arrays.copyOfRange(bytes, from, math.min(from + rowBytes, bytes.length))
+    }.toArray
+  }
+  def frameSampleUdf(n: Int) = udf((bytes: Array[Byte]) => frameSample(bytes, n))
+
+  /**
+   * Full pipeline over an interleaved-doc table: resolve band spans to media
+   * payloads, decode metadata, extract features. At scale the payload column
+   * comes from `spark.read.format("binaryFile")` or a blob-store resolver in
+   * the same shape; partitioning stays by doc (narrow).
+   */
+  def decodeBandSpans(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.kind") === "band")
+      .select(col("doc_id"), col("s.text").as("band"),
+        col("s.offset").as("offset"), col("s.media_ref").as("media_ref"))
+      .withColumn("payload", fakePayloadUdf(col("media_ref"))) // STUB: real read here
+      .withColumn("meta", decodeMetaUdf(col("payload")))
+      .withColumn("features", extractFeaturesUdf(col("payload")))
+}

@@ -1,0 +1,64 @@
+package graft.ann
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force cosine top-k matches a scalar implementation") {
+    val data = embs.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val probes = embs.where($"vec_id" < 10)
+    val got = Ann.bruteForceTopK(probes, embs, k = 5)
+      .select($"probe_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byId = data.toMap
+    (0L until 10L).foreach { p =>
+      val expected = data.filter(_._1 != p)
+        .map { case (id, e) => (id, cos(byId(p), e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+      assert(got(p) == expected, s"probe $p")
+    }
+  }
+
+  test("LSH top-k recall@3 ≥ 0.7 vs brute force; candidates only from shared buckets") {
+    val probes = embs.where($"vec_id" < 50)
+    val truth = Ann.bruteForceTopK(probes, embs, k = 3)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(probes, embs, k = 3, dim = 64, tables = 16, bits = 4)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall@3=$recall")
+  }
+
+  test("cosineNearDups finds exact duplicates with sim≈1") {
+    val e = embs.select($"vec_id", $"embedding").limit(100)
+    val dup = e.select(($"vec_id" + 1000).as("vec_id"), $"embedding")
+    val pairs = Ann.cosineNearDups(e.unionByName(dup), dim = 64, threshold = 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // every (i, i+1000) twin must be found: identical vectors always share all buckets
+    (0L until 100L).foreach { i => assert(pairs.contains((i, i + 1000)), s"missing twin $i") }
+  }
+
+  test("quantized dot ranking ≈ cosine ranking on real embeddings (top-1 agreement)") {
+    val probes = embs.where($"vec_id" < 20)
+    val qd = Ann.quantizedDotTopK(probes, embs, k = 1)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val bf = Ann.bruteForceTopK(probes, embs, k = 1)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    // dot vs cosine can disagree (norms differ) but should mostly align on
+    // this corpus; require ≥60% agreement as a sanity bound
+    val agree = qd.count { case (p, n) => bf(p) == n }
+    assert(agree >= 12, s"only $agree/20 top-1 agreements")
+  }
+}

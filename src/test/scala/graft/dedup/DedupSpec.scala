@@ -1,0 +1,77 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val vocab = "spark scan join filter group sort window table row key value hash merge".split(' ')
+
+  /** Seeded corpus: base docs + near-duplicate mutants (1-2 token edits). */
+  private def corpus(n: Int, seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val base = (0 until n).map { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val mutants = base.collect { case (id, t) if id % 3 == 0 =>
+      val toks = t.split(' ')
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+      (id + 100000, toks.mkString(" "))
+    }
+    base ++ mutants
+  }
+
+  test("minhash-LSH near-dups: precision 1.0 (verified) and high recall vs brute force") {
+    val df = corpus(120, 3L).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(df, "doc_id", "text", q = 5, bands = 8, rowsPerBand = 4,
+      threshold = 0.6).select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val truth = Dedup.bruteForceNearDups(df, "doc_id", "text", q = 5, threshold = 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // verification stage ⇒ every reported pair is a true near-dup
+    assert(got.subsetOf(truth), s"false positives: ${got diff truth}")
+    // banding (8×4) catches ≥90% of jaccard≥0.6 pairs on this corpus
+    val recall = if (truth.isEmpty) 1.0 else got.intersect(truth).size.toDouble / truth.size
+    assert(truth.nonEmpty && recall >= 0.9, s"recall=$recall truth=${truth.size}")
+  }
+
+  test("exact jaccard identities") {
+    assert(Dedup.jaccard("abcdef", "abcdef", 3) == 1.0)
+    assert(Dedup.jaccard("abcdef", "uvwxyz", 3) == 0.0)
+    val j = Dedup.jaccard("the quick brown fox", "the quick brown cat", 4)
+    assert(j > 0.3 && j < 1.0)
+  }
+
+  test("simhash near-dups find single-token mutants; hamming bound respected") {
+    val df = corpus(100, 5L).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDups(df, "doc_id", "text", chunks = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, h) =>
+      assert(h <= 3 && a < b)
+      // re-verify hamming from first principles
+      val texts = df.as[(Long, String)].collect().toMap
+      val hh = java.lang.Long.bitCount(
+        graft.text.TextOps.simhash64(texts(a)) ^ graft.text.TextOps.simhash64(texts(b)))
+      assert(hh == h)
+    }
+    // every identical-text pair must be found (hamming 0)
+    val withTwin = (df.as[(Long, String)].collect() :+ ((999999L, df.as[(Long, String)].collect().head._2))).toSeq
+    val twins = Dedup.simhashNearDups(withTwin.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    assert(twins.exists { case (a, b, h) => h == 0 && (b == 999999L || a == 999999L) })
+  }
+
+  test("exact + normalized dedup semantics") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val ex = Dedup.exact(df, "doc_id", "text")
+      .select($"keeper_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(ex == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+    val nm = Dedup.normalized(df, "doc_id", "text")
+      .select($"keeper_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(nm == Set((1L, 3L), (4L, 1L))) // word order collapsed
+  }
+}

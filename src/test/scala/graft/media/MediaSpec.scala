@@ -1,0 +1,44 @@
+package graft.media
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.model.SynthCorpus
+
+class MediaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("payload header roundtrip + deterministic body") {
+    val p1 = Media.fakePayload("S2A_x_blue.tif", 20, 10, 3)
+    val p2 = Media.fakePayload("S2A_x_blue.tif", 20, 10, 3)
+    assert(p1.sameElements(p2))
+    val m = Media.decodeMeta(p1)
+    assert(m == Media.MediaMeta(20, 10, 3, 5 + 20 * 10 * 3))
+  }
+
+  test("frame sampling returns n row-slices of width*channels bytes") {
+    val p = Media.fakePayload("ref", 32, 16, 3)
+    val frames = Media.frameSample(p, 4)
+    assert(frames.length == 4)
+    assert(frames.forall(_.length == 32 * 3))
+    // deterministic: same slices again
+    assert(Media.frameSample(p, 4).zip(frames).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("decodeBandSpans: schema, per-band rows, features normalized") {
+    val docs = SynthCorpus.docs(spark, 50, seed = 42L)
+    val out = Media.decodeBandSpans(docs.select($"doc_id", $"spans"))
+    val rows = out.select($"doc_id", $"band", $"meta.width", $"meta.channels", $"features")
+      .as[(String, String, Int, Int, Seq[Float])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, band, w, ch, feats) =>
+      assert(w >= 16 && ch == 3 && feats.length == ch)
+      assert(feats.forall(f => f >= 0f && f <= 1f))
+      assert(band.nonEmpty)
+    }
+    // band-span count preserved: one output row per band span
+    val nBandSpans = docs.select(explode($"spans").as("s")).where($"s.kind" === "band").count()
+    assert(out.count() == nBandSpans)
+  }
+}
