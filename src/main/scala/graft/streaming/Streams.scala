@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Structured Streaming veneer (SURVEY §2.10). The reference's "stream" is a
+ * finite Redis work queue drained by lease-polling workers
+ * (`rediswq.py:81-101`, `worker-s2.ipynb` cell 5); its Spark-native form is
+ * a file/table source drained with `Trigger.AvailableNow` micro-batches —
+ * at-least-once per batch, made exactly-once by the Checkpoint anti-join
+ * (the same idempotence the reference gets from SAC_DONE re-scans).
+ *
+ * The reference has no watermarks or event-time windows; monthly bucketing
+ * (`groupby(Date.dt.to_period("M"))`, cells 132-133) is its only time
+ * window. Both are provided here as first-class ops anyway: tumbling-window
+ * counts with a watermark, and a stateful per-key lease tracker via
+ * `mapGroupsWithState` (the engine's custom-state surface).
+ */
+object Streams {
+
+  /** File-source stream over a parquet directory (schema must be supplied —
+    * streaming sources cannot infer). */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling event-time window counts with watermark (late data beyond
+    * `watermark` dropped). Batch-equivalent: groupBy(window(ts, w)). */
+  def windowedCounts(events: DataFrame, tsCol: String, window_ : String,
+                     watermark: String): DataFrame =
+    events
+      // watermarks require TIMESTAMP (ltz); parquet NTZ columns are cast
+      // (session TZ is pinned to UTC engine-wide, so this is lossless)
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Drain all available input as micro-batches into an in-memory table;
+    * returns when the queue is empty (the worker's `while not q.empty()`). */
+  def drainToMemory(df: DataFrame, queryName: String, outputMode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // --- stateful lease tracking (mapGroupsWithState) ----------------------
+
+  case class Lease(itemId: String, ts: Long, event: String) // lease | complete
+  case class LeaseState(leases: Long, completes: Long)
+  case class LeaseStatus(itemId: String, leases: Long, completes: Long, state: String)
+
+  /** Per-item running lease/complete counters — the two-queue protocol's
+    * observable state (items leased more than completed are in-flight or
+    * lost-lease retries). */
+  def leaseTracker(events: org.apache.spark.sql.Dataset[Lease]): org.apache.spark.sql.Dataset[LeaseStatus] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.itemId)
+      .mapGroupsWithState[LeaseState, LeaseStatus](GroupStateTimeout.NoTimeout()) {
+        (id: String, batch: Iterator[Lease], state: GroupState[LeaseState]) =>
+          val prev = state.getOption.getOrElse(LeaseState(0, 0))
+          var l = prev.leases; var c = prev.completes
+          batch.foreach { e => if (e.event == "lease") l += 1 else c += 1 }
+          state.update(LeaseState(l, c))
+          LeaseStatus(id, l, c, if (c >= l) "done" else "in_flight")
+      }
+  }
+}

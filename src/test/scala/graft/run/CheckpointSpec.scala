@@ -1,0 +1,67 @@
+package graft.run
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.table.IcebergLite
+import java.nio.file.Files
+
+/** Kill-after-stage resume semantics (SURVEY §5.2 item 5): re-running a
+  * pipeline recomputes ONLY uncommitted keys and reproduces identical final
+  * output. */
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def stageCompute(df: DataFrame): DataFrame =
+    df.withColumn("out", $"k" * 2)
+
+  test("resume recomputes only uncommitted keys; output identical to one-shot run") {
+    val base = Files.createTempDirectory("graft_ckpt").toString
+    val input = (0L until 100L).map(k => Tuple1(k)).toDF("k")
+
+    // full run in one shot (reference result)
+    val oneShotBase = Files.createTempDirectory("graft_ckpt_ref").toString
+    Checkpoint.runStage(spark, oneShotBase, "s1", input, "k", "c0")(stageCompute)
+    val expected = IcebergLite.read(spark, Checkpoint.outputTable(oneShotBase, "s1"))
+      .select($"k", $"out").as[(Long, Long)].collect().toSet
+
+    // crashed run: only half the input was "reached" before the crash
+    Checkpoint.runStage(spark, base, "s1", input.where($"k" < 50), "k", "c1")(stageCompute)
+    assert(IcebergLite.read(spark, Checkpoint.outputTable(base, "s1")).count() == 50)
+
+    // resume with the FULL input: processed count must be exactly the gap
+    val acc = spark.sparkContext.longAccumulator("recomputed")
+    val (_, n2) = Checkpoint.runStage(spark, base, "s1", input, "k", "c2") { df =>
+      df.map { r => acc.add(1); r.getLong(0) }.toDF("k").withColumn("out", $"k" * 2)
+    }
+    assert(n2 == 50, s"resume must process exactly the 50 uncommitted keys, got $n2")
+    assert(acc.value == 50, s"recompute touched ${acc.value} rows")
+
+    val got = IcebergLite.read(spark, Checkpoint.outputTable(base, "s1"))
+      .select($"k", $"out").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+
+    // third run: nothing to do
+    val (_, n3) = Checkpoint.runStage(spark, base, "s1", input, "k", "c3")(stageCompute)
+    assert(n3 == 0)
+
+    // lineage log: per-partition ranges + checksums present, status committed
+    val log = Checkpoint.log(spark, base, "s1")
+    val rows = log.select($"stage", $"status", $"rows_out").as[(String, String, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (s, st, _) => s == "s1" && st == "committed" })
+    assert(log.agg(sum($"rows_out")).as[Long].head() == 100)
+  }
+
+  test("checksum in lineage log detects key-set drift across equivalent runs") {
+    val base = Files.createTempDirectory("graft_ckpt2").toString
+    val input = (0L until 40L).map(k => Tuple1(k)).toDF("k").repartition(1)
+    Checkpoint.runStage(spark, base, "s", input, "k", "c1")(stageCompute)
+    val x1 = Checkpoint.log(spark, base, "s").agg(expr("bit_xor(checksum)")).as[Long].head()
+    val base2 = Files.createTempDirectory("graft_ckpt3").toString
+    Checkpoint.runStage(spark, base2, "s", input.repartition(8), "k", "c1")(stageCompute)
+    val x2 = Checkpoint.log(spark, base2, "s").agg(expr("bit_xor(checksum)")).as[Long].head()
+    assert(x1 == x2) // xor-of-xors is partition-layout independent
+  }
+}

@@ -1,0 +1,64 @@
+package graft.table
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import java.nio.file.Files
+
+class IcebergLiteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_iceberg").resolve("t").toString
+
+  test("append/read roundtrip with snapshot lineage") {
+    val t = tmpTable()
+    val df1 = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(4)
+    IcebergLite.append(spark, df1, t, Seq("k"), "c1")
+    assert(IcebergLite.read(spark, t).count() == 100)
+    val df2 = (100 until 150).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val snap2 = IcebergLite.append(spark, df2, t, Seq("k"), "c2")
+    assert(snap2.id == 1 && snap2.parent == 0)
+    assert(IcebergLite.read(spark, t).count() == 150)
+    assert(IcebergLite.read(spark, t).select(sum($"k")).as[Long].head() == (0 until 150).sum)
+  }
+
+  test("manifest min/max pruning skips files that provably miss the range") {
+    val t = tmpTable()
+    // 4 files with disjoint key ranges (repartitionByRange keeps them sorted)
+    val df = (0 until 400).map(i => (i.toLong, i.toString)).toDF("k", "v")
+      .repartitionByRange(4, $"k")
+    IcebergLite.append(spark, df, t, Seq("k"), "c1")
+    val all = IcebergLite.selectedFiles(t, Map.empty)
+    assert(all.size == 4)
+    val some = IcebergLite.selectedFiles(t, Map("k" -> (0.0, 50.0)))
+    assert(some.size < all.size, s"pruning selected ${some.size}/${all.size}")
+    // pruned read is still correct
+    val rows = IcebergLite.read(spark, t, Map("k" -> (0.0, 50.0)))
+      .where($"k" <= 50).count()
+    assert(rows == 51)
+  }
+
+  test("uncommitted data (no pointer swap) is invisible — crash atomicity") {
+    val t = tmpTable()
+    IcebergLite.append(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), "c1")
+    // simulate a crash: data written but snapshot never pointed to
+    Seq((99L, "zz")).toDF("k", "v").write.parquet(s"$t/data/crashed")
+    assert(IcebergLite.read(spark, t).count() == 1)
+  }
+
+  test("snapshot JSON roundtrip") {
+    val s = IcebergLite.Snapshot(3, 2, """{"type":"struct"}""",
+      Seq(IcebergLite.FileEntry("/a/b \"q\".parquet", 10,
+        Map("k" -> "-5"), Map("k" -> "42"))))
+    val js = {
+      // render via append path is file-bound; test parse on a hand render
+      val m = classOf[IcebergLite.type].getDeclaredMethods
+        .find(_.getName == "renderSnapshot").get
+      m.setAccessible(true)
+      m.invoke(IcebergLite, s).asInstanceOf[String]
+    }
+    assert(IcebergLite.parseSnapshot(js) == s)
+  }
+}
