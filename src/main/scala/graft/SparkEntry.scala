@@ -30,6 +30,7 @@ object SparkEntry {
     "geo_knn" -> ((s, d) => GeoQueries.knn(s, d)),
     "geo_assign_spans" -> ((s, d) => GeoQueries.assignSpans(s, d)),
     "geo_cell_encode" -> ((s, d) => GeoQueries.cellEncode(s, d)),
+    "geo_sql_join" -> ((s, d) => GeoQueries.sqlJoin(s, d)),
     // --- relational plane (SURVEY §2.2-2.7) ---
     // --- pixel plane: wofs / masks / composites (SURVEY §2.4, §2.9) ---
     "px_wofs" -> ((s, d) => PixelQueries.wofs(s, d)),
@@ -38,7 +39,13 @@ object SparkEntry {
     "px_median" -> ((s, d) => PixelQueries.median(s, d)),
     "px_recent" -> ((s, d) => PixelQueries.recent(s, d)),
     "px_maxndvi" -> ((s, d) => PixelQueries.maxNdvi(s, d)),
+    "px_minndvi" -> ((s, d) => PixelQueries.minNdvi(s, d)),
     "px_summary" -> ((s, d) => PixelQueries.summary(s, d)),
+    // geomedian / ML / NNLS: not SQL-expressible → driver rows-only check;
+    // value-level correctness lives in AggregatorSpec / MLWaterSpec / NnlsSpec
+    "px_geomedian" -> ((s, d) => PixelQueries.geomedian(s, d)),
+    "ml_water" -> ((s, d) => MLQueries.water(s, d)),
+    "ml_fraccover" -> ((s, d) => MLQueries.fracCover(s, d)),
     // --- training-data pipeline: dedup / text / ANN / media ---
     "dd_exact" -> ((s, d) => TrainQueries.ddExact(s, d)),
     "dd_norm" -> ((s, d) => TrainQueries.ddNorm(s, d)),
@@ -108,6 +115,14 @@ object SparkEntry {
          |            THEN concat(cast(a.doc_id AS varchar), '_', sp.txt, '.tif')
          |            ELSE '' END AS media_ref
          |FROM assign a CROSS JOIN sp""".stripMargin,
+    // same semantics as geo_tile_assign, but planned through the Catalyst
+    // extension path: native st_intersects + SpatialJoinStrategy (STRtree)
+    "geo_sql_join" ->
+      s"""WITH scenes AS (${SynthCorpus.scenesSql}), tiles AS (${SynthCorpus.tilesSql})
+         |SELECT s.doc_id AS doc_id, t.tile_id AS tile_id
+         |FROM scenes s JOIN tiles t
+         |  ON s.xmin <= t.txmax AND s.xmax >= t.txmin
+         | AND s.ymin <= t.tymax AND s.ymax >= t.tymin""".stripMargin,
     "geo_cell_encode" ->
       s"""WITH scenes AS (${SynthCorpus.scenesSql})
          |SELECT doc_id,
@@ -146,6 +161,14 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY py, px
          |             ORDER BY ${ops.Composites.ndviSql} DESC,
          |                      l_orderkey DESC, l_linenumber DESC) AS rn
+         |  FROM px) WHERE rn = 1""".stripMargin,
+    "px_minndvi" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT py, px, best_ndvi, blue, nir, red FROM (
+         |  SELECT py, px, ${ops.Composites.ndviSql} AS best_ndvi, blue, nir, red,
+         |         row_number() OVER (PARTITION BY py, px
+         |             ORDER BY ${ops.Composites.ndviSql} ASC,
+         |                      l_orderkey ASC, l_linenumber ASC) AS rn
          |  FROM px) WHERE rn = 1""".stripMargin,
     "px_summary" ->
       s"""WITH px AS (${ops.Pixels.pixelsSql})
@@ -302,6 +325,17 @@ object GeoQueries {
     array(meta +: bandSpans: _*)
   }
 
+  /** Tile assignment through the Catalyst extension plane: native
+    * `st_intersects` expression + SpatialJoinStrategy plans the broadcast
+    * STRtree join (must agree with the cell-cover path, geo_tile_assign). */
+  def sqlJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val t = tiles(s).withColumnRenamed("wkt", "tile_wkt")
+    scenesFromOrders(s, dir)
+      .join(t, graft.plans.SpatialColumns.stIntersects(col("tile_wkt"), col("wkt")))
+      .select(col("doc_id"), col("tile_id"))
+  }
+
   /** Cell encode of scene centers at res 5, exposed as grid coords (the
     * packed Morton id is engine-internal; cx/cy are its SQL-checkable form). */
   def cellEncode(s: SparkSession, dir: String): DataFrame = {
@@ -346,6 +380,24 @@ object PixelQueries {
     Composites.maxNdviComposite(px(s, d), Seq("py", "px"),
       tieBreak = Seq("l_orderkey", "l_linenumber"), bands = Seq("blue", "nir", "red"))
       .select("py", "px", "best_ndvi", "blue", "nir", "red")
+
+  def minNdvi(s: SparkSession, d: String): DataFrame =
+    Composites.minNdviComposite(px(s, d), Seq("py", "px"),
+      tieBreak = Seq("l_orderkey", "l_linenumber"), bands = Seq("blue", "nir", "red"))
+      .select("py", "px", "best_ndvi", "blue", "nir", "red")
+
+  /** Geomedian of (blue, nir, red) vectors per pixel — Weiszfeld Aggregator
+    * (A9); value parity vs the scalar oracle is in AggregatorSpec. */
+  def geomedian(s: SparkSession, d: String): DataFrame = {
+    val agg = udaf(GeomedianAgg)
+    px(s, d).groupBy("py", "px")
+      .agg(agg(array(col("blue").cast("double"), col("nir").cast("double"),
+        col("red").cast("double"))).as("gm"))
+      .select(col("py"), col("px"),
+        round(element_at(col("gm"), 1), 6).as("gm_blue"),
+        round(element_at(col("gm"), 2), 6).as("gm_nir"),
+        round(element_at(col("gm"), 3), 6).as("gm_red"))
+  }
 
   def summary(s: SparkSession, d: String): DataFrame = {
     val agg = udaf(WofsStatsAgg)
@@ -437,6 +489,32 @@ object TrainQueries {
         col("meta.width"), col("meta.height"), col("meta.channels"),
         size(col("features")).as("n_features"))
   }
+}
+
+/** ML-plane queries: RF water classifier + fractional-cover unmixing
+  * (`genprepMLWater.py`, `dc_fractional_coverage_classifier.py`) over the
+  * synthetic pixel table. Not SQL-expressible → rows-only driver check. */
+object MLQueries {
+  import graft.ml.{FracCover, MLWater}
+  import graft.ops.Pixels
+
+  /** Label rule pc>=50 derives from a deterministic band predicate so the
+    * scene is learnable; predictions over the img-valid mask. */
+  def water(s: SparkSession, d: String): DataFrame = {
+    val px = Pixels.pixels(s, d)
+      .withColumn("pc", when(col("nir") < col("swir1"), 80.0).otherwise(10.0))
+      .withColumn("valid_img", col("pixel_qa") =!= 1)
+      .withColumn("valid_lab", col("scene_classification") =!= 0)
+    val model = MLWater.train(px, Seq("green", "nir", "swir1"), "pc",
+      col("valid_img"), col("valid_lab"), MLWater.Params(minPerClass = 200L))
+    MLWater.predict(model, px, Seq("green", "nir", "swir1"), col("valid_img"),
+      keys = Seq("l_orderkey", "l_linenumber"))
+  }
+
+  def fracCover(s: SparkSession, d: String): DataFrame =
+    FracCover.classify(Pixels.pixels(s, d),
+      graft.ops.CleanMask.s2Column(col("scene_classification")))
+      .select("l_orderkey", "l_linenumber", "pv", "npv", "bs")
 }
 
 /** Relational operators over the driver's TPC-H-ish tables (SURVEY §2.2-2.7).

@@ -58,6 +58,15 @@ object Composites {
       .withColumn("best_ndvi", col("__top.__ndvi")).drop("__top")
   }
 
+  /** Argmin-of-NDVI composite (`dc_mosaic.py:215-345` min_ndvi kwarg). */
+  def minNdviComposite(px: DataFrame, keys: Seq[String], tieBreak: Seq[String],
+                       bands: Seq[String]): DataFrame = {
+    val packed = struct((ndvi.as("__ndvi") +: tieBreak.map(col)) ++ bands.map(col): _*)
+    val agged = px.groupBy(keys.map(col): _*).agg(min(packed).as("__top"))
+    bands.foldLeft(agged)((df, b) => df.withColumn(b, col(s"__top.$b")))
+      .withColumn("best_ndvi", col("__top.__ndvi")).drop("__top")
+  }
+
   /** OR-fold of boolean masks through time (A12). */
   def anyThroughTime(px: DataFrame, keys: Seq[String], mask: Column): DataFrame =
     px.groupBy(keys.map(col): _*).agg(max(mask.cast("int")).cast("boolean").as("any_mask"))

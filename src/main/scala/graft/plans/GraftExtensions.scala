@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Session extensions wiring the spatial plane into Catalyst:
+ *
+ *   - SQL functions `st_intersects`, `st_distance`, `st_cell_cover`
+ *     (native expressions, codegen'd — SURVEY §2.8 geo)
+ *   - [[SpatialJoinStrategy]]: joins on `st_intersects` plan as a broadcast
+ *     STRtree join instead of a nested-loop cross product
+ *
+ * Enable at build time:
+ *   `SparkSession.builder().config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+ * or retrofit onto a live session with [[GraftExtensions.register]].
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => SpatialJoinStrategy)
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans", null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("st_intersects"),
+      info("st_intersects", "st_intersects(aWkt, bWkt) - exact geometry intersection test"),
+      (c: Seq[Expression]) => StIntersects(c(0), c(1))),
+    (FunctionIdentifier("st_distance"),
+      info("st_distance", "st_distance(aWkt, bWkt) - planar distance in degrees"),
+      (c: Seq[Expression]) => StDistance(c(0), c(1))),
+    (FunctionIdentifier("st_cell_cover"),
+      info("st_cell_cover", "st_cell_cover(wkt, res) - AM-safe hierarchical cell cover"),
+      (c: Seq[Expression]) => StCellCover(c(0), c(1)))
+  )
+
+  /** Retrofit the functions + strategy onto an already-built session (the
+    * driver owns session construction in Verify/Bench). Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+    if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SpatialJoinStrategy
+  }
+}
