@@ -50,10 +50,12 @@ object Bench {
     * its output tiles (cover-explode broadcast equi-join + JTS refine),
     * count assignments. The count forces the full join but no sink IO, so
     * wall time measures the join itself. */
-  private def tileAssignJob(spark: SparkSession, corpusPath: String): Long = {
+  private def tileAssignJob(spark: SparkSession, corpusPath: String,
+                            shuffled: Boolean = false, saltBuckets: Int = 1): Long = {
     val docs = spark.read.parquet(corpusPath)
     val tiles = graft.model.SynthCorpus.tileGrid(spark).drop("path", "row")
-    graft.ops.TileAssign.assign(docs, tiles).count()
+    graft.ops.TileAssign.assign(docs, tiles, shuffled = shuffled,
+      saltBuckets = saltBuckets).count()
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -68,7 +70,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "6000000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "10000000").toLong
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
     // ---- phase 1: flagship scaling (N=8 vs 4N=32 threads, same input) ----
@@ -104,6 +106,18 @@ object Bench {
         System.err.println(f"[bench-scale] local[$c] rows=$rows wall=${w}%.3f s rate=${nDocs / w}%.1f /s")
       }
       if (results.size < 2) { sys.exit(0) } // single-level probe mode
+
+      // skew machinery evidence: the SAME join forced down the shuffled
+      // path with explicit ×8 salting on the hotspot corpus, at 4N — this
+      // is the plan used when the dimension side outgrows broadcast
+      val sSkew = session(levels.last)
+      timed(tileAssignJob(sSkew, corpus, shuffled = true, saltBuckets = 8)) // warmup
+      val skewWalls = (1 to 3).map(_ =>
+        timed(tileAssignJob(sSkew, corpus, shuffled = true, saltBuckets = 8)))
+      sSkew.stop()
+      val skewWall = median(skewWalls)
+      val skewRate = nDocs / skewWall
+      System.err.println(f"[bench-scale] skew-shuffled-salted local[${levels.last}] wall=$skewWall%.3f rate=$skewRate%.1f /s")
       val Seq((cN, rows, wallN), (c4N, _, wall4N)) = results
       val rateN = nDocs / wallN
       rate4N = nDocs / wall4N
@@ -112,7 +126,8 @@ object Bench {
         f"""{"docs":$nDocs,"assign_rows":$rows,"cpus_n":$cN,"cpus_4n":$c4N,""" +
           f""""wall_n_s":$wallN%.3f,"wall_4n_s":$wall4N%.3f,""" +
           f""""scenes_per_sec_n":$rateN%.1f,"scenes_per_sec_4n":$rate4N%.1f,""" +
-          f""""scaling_efficiency":$eff%.3f}"""
+          f""""scaling_efficiency":$eff%.3f,""" +
+          f""""skew_shuffled_salted_wall_s":$skewWall%.3f,"skew_shuffled_salted_scenes_per_sec":$skewRate%.1f}"""
       scalingMd =
         f"""## Flagship scaling (measured, median of 3, warmup discarded)
            |
@@ -125,6 +140,11 @@ object Bench {
            || 4N | local[$c4N] | $nDocs | $rows | $wall4N%.3f | $rate4N%.1f |
            |
            |**scaling efficiency = (rate_4N / rate_N) / 4 = $eff%.3f** (target ≥ 0.8)
+           |
+           |Skew machinery (same join, shuffled path + explicit ×8 salting on
+           |the AM-hotspot corpus, local[${levels.last}]): wall $skewWall%.3f s,
+           |$skewRate%.1f scenes/sec — the plan used when the dimension side
+           |outgrows broadcast; AQE skew-join splitting enabled.
            |
            |### Why N=$cN (machine calibration)
            |

@@ -68,7 +68,12 @@ object SparkEntry {
     "q7_topk" -> ((s, d) => Relational.q7(s, d)),
     "q8_setops" -> ((s, d) => Relational.q8(s, d)),
     "q9_scalar" -> ((s, d) => Relational.q9(s, d)),
-    "q10_stats" -> ((s, d) => Relational.q10(s, d))
+    "q10_stats" -> ((s, d) => Relational.q10(s, d)),
+    "q11_json" -> ((s, d) => Relational.q11(s, d)),
+    "q12_rollup" -> ((s, d) => Relational.q12(s, d)),
+    "q13_dates" -> ((s, d) => Relational.q13(s, d)),
+    "q14_jobdoc" -> ((s, d) => Relational.q14(s, d)),
+    "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -272,7 +277,35 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n, count(value) AS n_valid,
         |       cast(sum(cast(floor(value * 100) AS bigint)) AS bigint) AS sum_cents,
         |       min(event_type) AS min_et, max(event_type) AS max_et
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q11_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       cast(sum(cast(json_extract(props, '$.k') AS bigint)) AS bigint) AS sum_k,
+        |       cast(min(cast(json_extract(props, '$.k') AS bigint)) AS bigint) AS min_k,
+        |       cast(max(cast(json_extract(props, '$.k') AS bigint)) AS bigint) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q12_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       cast(sum(cast(floor(o_totalprice) AS bigint)) AS bigint) AS sum_floor
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q13_dates" ->
+      """SELECT o_orderkey,
+        |       strftime(make_date(cast(2020 + o_orderkey % 3 AS int), 1, 1)
+        |                + to_days(cast(o_orderkey % 365 AS int))
+        |                + to_hours(12), '%Y-%m-%d %H:%M:%S') AS acq_s,
+        |       strftime(o_orderdate + to_seconds(cast(floor(
+        |                date_diff('second', o_orderdate,
+        |                          o_orderdate + to_days(cast(o_orderkey % 20 AS int))) / 2)
+        |                AS bigint)), '%Y-%m-%d %H:%M:%S') AS center_s
+        |FROM orders""".stripMargin,
+    "q14_jobdoc" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders""",
+    "px_bitmask" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT l_orderkey, l_linenumber,
+         |       (pixel_qa & 34) <> 0 AS cloudy_bit,
+         |       (pixel_qa & 4) <> 0 AS water_bit
+         |FROM px""".stripMargin
   )
 }
 
@@ -399,6 +432,12 @@ object PixelQueries {
         round(element_at(col("gm"), 3), 6).as("gm_red"))
   }
 
+  /** True bitmask decode (`dc_utilities.py:199-215`): (qa & Σ2^b) ≠ 0. */
+  def bitmask(s: SparkSession, d: String): DataFrame =
+    px(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      (col("pixel_qa").bitwiseAND(lit(1 << 1 | 1 << 5)) =!= 0).as("cloudy_bit"),
+      (col("pixel_qa").bitwiseAND(lit(1 << 2)) =!= 0).as("water_bit"))
+
   def summary(s: SparkSession, d: String): DataFrame = {
     val agg = udaf(WofsStatsAgg)
     px(s, d).groupBy("py", "px").agg(agg(col("red2").cast("double")).as("st"))
@@ -469,7 +508,7 @@ object TrainQueries {
 
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    Ann.lshTopK(e.where(col("vec_id") < 100), e, k = 3, dim = 64, tables = 16, bits = 4)
+    Ann.lshTopK(e.where(col("vec_id") < 100), e, k = 3, dim = 64, tables = 16, bits = 8)
   }
 
   def annNearDup(s: SparkSession, d: String): DataFrame = {
@@ -585,4 +624,47 @@ object Relational {
       count(lit(1)).as("n"), count(col("value")).as("n_valid"),
       sum(floor(col("value") * 100).cast("long")).as("sum_cents"),
       min("event_type").as("min_et"), max("event_type").as("max_et"))
+
+  /** JSON payload parse (S11/worker `json.loads`): from_json on props. */
+  def q11(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("k", from_json(col("props"), lit("struct<k:long>")).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
+  /** Rollup pivot (A15 convenience; reference does separate groupbys). */
+  def q12(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(floor(col("o_totalprice"))).as("sum_floor"))
+
+  /** Date/time surgery (§2.8): day-of-year arithmetic (`prepMOD.py:87-94`)
+    * + center-time midpoint (`prep_utils.py:252-258`), emitted as strings. */
+  def q13(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("yr", (lit(2020) + col("o_orderkey") % 3).cast("int"))
+      .withColumn("dy", (lit(1) + col("o_orderkey") % 365).cast("int"))
+      // datetime(yr,1,1) + (dy-1) days + 12 h — the MODIS acquisition time
+      .withColumn("acq_ts", expr(
+        "timestampadd(HOUR, 12, timestampadd(DAY, dy - 1, cast(make_date(yr, 1, 1) AS timestamp)))"))
+      // center_dt = t0 + (t1 − t0)/2 at second precision
+      .withColumn("t1", expr("timestampadd(DAY, cast(o_orderkey % 20 AS int), o_orderdate)"))
+      .withColumn("center_dt", expr(
+        "timestampadd(SECOND, cast(floor((unix_timestamp(t1) - unix_timestamp(o_orderdate)) / 2) AS int), o_orderdate)"))
+      .select(col("o_orderkey"),
+        date_format(col("acq_ts"), "yyyy-MM-dd HH:mm:ss").as("acq_s"),
+        date_format(col("center_dt"), "yyyy-MM-dd HH:mm:ss").as("center_s"))
+
+  /** Job-doc sink semantics (S11): to_json job payload, then from_json
+    * re-parse — the exact worker handshake (`worker-s2.ipynb` cell 2).
+    * Oracle = identity projection, so the roundtrip must be lossless. */
+  def q14(s: SparkSession, d: String): DataFrame = {
+    val jobs = t(s, d, "orders").select(
+      to_json(struct(col("o_orderkey").as("scene"), col("o_totalprice").as("size"),
+        col("o_orderpriority").as("prio"))).as("job"))
+    jobs.select(from_json(col("job"),
+        lit("struct<scene:long,size:double,prio:string>")).as("j"))
+      .select(col("j.scene").as("o_orderkey"), col("j.size").as("o_totalprice"),
+        col("j.prio").as("o_orderpriority"))
+  }
 }

@@ -106,9 +106,13 @@ object Ann {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(p, Seq("t", "bk"))
       .where(col("probe_id") =!= col("neighbor_id"))
-      .groupBy(col("probe_id"), col("neighbor_id")) // dedup multi-table hits
-      .agg(first(col("pe")).as("pe"), first(col("ce")).as("ce"))
+      // sim computed MAP-SIDE (before the dedup shuffle): a multi-table hit
+      // recomputes a 64-dim cosine (~100 ns) instead of shipping two
+      // 256-byte embeddings through the exchange — the shuffle payload is
+      // (probe_id, neighbor_id, sim) only.
       .withColumn("sim", cosine(col("pe"), col("ce")))
+      .groupBy(col("probe_id"), col("neighbor_id")) // dedup multi-table hits
+      .agg(first(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
@@ -125,10 +129,13 @@ object Ann {
     val r = e.select(col("t"), col("bk"), col("vec_id").as("id_b"), col("embedding").as("eb"))
     l.join(r, Seq("t", "bk"))
       .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("ea")).as("ea"), first(col("eb")).as("eb"))
+      // map-side sim + threshold BEFORE the dedup shuffle: candidate pairs
+      // failing the threshold never leave the task, and surviving pairs
+      // shuffle 16 bytes + a double instead of two embeddings
       .withColumn("sim", cosine(col("ea"), col("eb")))
       .where(col("sim") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("sim")).as("sim"))
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

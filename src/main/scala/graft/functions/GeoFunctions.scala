@@ -15,15 +15,27 @@ import graft.cells.CellIndex
  */
 object GeoFunctions {
 
-  /** cellCover(wkt, res): Array[Long] — the engine's Generator (SURVEY §2.9). */
+  /** cellCover(wkt, res): Array[Long] — the engine's Generator (SURVEY §2.9).
+    *
+    * Marked non-deterministic ON PURPOSE (it is pure): its result feeds
+    * `explode`, and Catalyst's InferFiltersFromGenerate otherwise synthesizes
+    * `size(cells) > 0 AND isnotnull(cells)`, which predicate pushdown then
+    * rewrites by SUBSTITUTING THIS WHOLE UDF CHAIN into a filter below the
+    * upstream exchange — evaluating the WKT parse + cover 2 extra times per
+    * row, serially. Measured 3-4× wall cost on the flagship join. The
+    * non-determinism flag is the supported way to fence an expensive UDF
+    * from being duplicated by the optimizer. */
   val cellCoverUdf = udf((wkt: String, res: Int) => Geo.cellCoverWkt(wkt, res))
+    .asNondeterministic()
 
   /** Cell of a point. */
   val cellOfPointUdf = udf((lon: Double, lat: Double, res: Int) => CellIndex.cell(lon, lat, res))
 
-  /** k-ring of a point's cell. */
+  /** k-ring of a point's cell (non-deterministic flag: same explode-pushdown
+    * fence as [[cellCoverUdf]]). */
   val kRingOfPointUdf =
     udf((lon: Double, lat: Double, res: Int, k: Int) => CellIndex.kRing(CellIndex.cell(lon, lat, res), k))
+      .asNondeterministic()
 
   /** JTS intersects; first arg is the cached/prepared (dimension) side. */
   val stIntersectsUdf = udf((dimWkt: String, probeWkt: String) => Geo.intersects(dimWkt, probeWkt))

@@ -20,6 +20,19 @@ case class SceneDoc(doc_id: String, spans: Seq[Span])
   * `Name`; `WRS2_descending.geojson` PATH/ROW — SURVEY §1.1). */
 case class Tile(tile_id: String, wkt: String, path: Int, row: Int)
 
+object Docs {
+  import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+
+  implicit val sceneDocEncoder: Encoder[SceneDoc] = Encoders.product[SceneDoc]
+  implicit val spanEncoder: Encoder[Span] = Encoders.product[Span]
+
+  /** Typed view of a doc table (the input_hint API boundary): downstream
+    * code can use `Dataset[SceneDoc]` combinators while the engine keeps
+    * Column expressions underneath for Catalyst. */
+  def typed(df: DataFrame): Dataset[SceneDoc] =
+    df.select("doc_id", "spans").as[SceneDoc]
+}
+
 object Bands {
   /** Per-sensor ordered band lists, copied from `utils/genprepWater.py:185-191`
     * and `utils/genprepMLWater.py:222-230`. Order is significant. */

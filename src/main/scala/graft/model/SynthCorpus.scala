@@ -28,7 +28,13 @@ object SynthCorpus {
     * lon ∈ [-180, 177.9375+1.5], lat ∈ [-90, 86+1.0] — no AM wrap (the
     * AM path is exercised by [[docs]] + property tests, not the oracle). */
   def scenesFromOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    // the oracle input is one small parquet file → one scan split; the
+    // downstream per-row geometry work is compute-bound, so spread it.
+    // (At production scale the scan has many files and this is a no-op
+    // cost-wise: it shuffles only the 3-column key set.)
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey")
+      .repartition(spark.sparkContext.defaultParallelism)
     orders.select(
       col("o_orderkey").as("doc_id"),
       (lit(-180.0) + (col("o_orderkey") * 37 % 5728) / 16.0).as("xmin"),

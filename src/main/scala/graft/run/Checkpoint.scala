@@ -73,6 +73,10 @@ object Checkpoint {
     (out, todoCount)
   }
 
+  /** All committed output rows of a stage. */
+  def committed(spark: SparkSession, base: String, stage: String): DataFrame =
+    IcebergLite.read(spark, outputTable(base, stage))
+
   /** The commit log as a DataFrame (ops/monitoring surface). */
   def log(spark: SparkSession, base: String, stage: String): DataFrame =
     IcebergLite.read(spark, logTable(base, stage))

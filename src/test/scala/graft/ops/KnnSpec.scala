@@ -31,4 +31,17 @@ class KnnSpec extends AnyFunSuite {
       assert(got(id) == expected, s"doc $id at ($lon,$lat)")
     }
   }
+
+  test("shuffled cell-ring fallback ≡ broadcast STRtree path") {
+    val rnd = new scala.util.Random(123)
+    val pts = (0 until 150).map { i =>
+      (s"d$i", rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 180 - 90)
+    }
+    val df = pts.toDF("doc_id", "lon", "lat")
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.select($"doc_id", $"rank".cast("int"), $"tile_id").as[(String, Int, String)]
+        .collect().toSet
+    assert(norm(Knn.nearestTiles(df, tiles, k = 3)) ==
+      norm(Knn.nearestTilesShuffled(df, tiles, k = 3, res = 3, ring = 1)))
+  }
 }
