@@ -61,7 +61,11 @@ object SpatialJoin {
         (salted.drop("__cell0", "__salt"), dimRep.drop("__cell0", "__salt"))
       }
 
-    val dimSide = if (shuffled) dk else broadcast(dk)
+    // shuffle_hash hint: without it AQE converts the join back to broadcast
+    // whenever the dim side is small (true at test scale, false at the
+    // 60k-polygon+ scale this path exists for) — the hint keeps the
+    // measured plan the one that actually runs at scale
+    val dimSide = if (shuffled) dk.hint("shuffle_hash") else broadcast(dk)
     pk.join(dimSide, "__cell")
       // shuffle-free dedup: emit the pair only on the min shared cell
       .where(

@@ -43,6 +43,35 @@ object IcebergLite {
       parseSnapshot(Files.readString(metaDir(table).resolve(s"snapshot-$id.json")))
     }
 
+  /** A specific historical snapshot (None if it never existed). */
+  def snapshotAt(table: String, id: Long): Option[Snapshot] = {
+    val p = metaDir(table).resolve(s"snapshot-$id.json")
+    if (Files.exists(p)) Some(parseSnapshot(Files.readString(p))) else None
+  }
+
+  /** All snapshot ids, oldest first — the table's commit lineage. */
+  def snapshots(table: String): Seq[Long] = {
+    val d = metaDir(table)
+    if (!Files.exists(d)) Nil
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snapshot-") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+      .toSeq.sorted
+  }
+
+  /** Time-travel read: the table exactly as of snapshot `id` (Iceberg's
+    * `VERSION AS OF`). Files of later commits are invisible. */
+  def readAt(spark: SparkSession, table: String, id: Long): DataFrame = {
+    val snap = snapshotAt(table, id).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $id in $table"))
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else spark.read.parquet(snap.files.map(_.path): _*)
+  }
+
   /**
    * Append `df` as a new snapshot (previous files retained). `statsCols`
    * are indexed with min/max for pruning. Commit protocol:

@@ -24,6 +24,19 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, t).select(sum($"k")).as[Long].head() == (0 until 150).sum)
   }
 
+  test("time travel: readAt sees the table exactly as of each snapshot") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0 until 40).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    IcebergLite.append(spark, (40 until 90).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, Seq("k"), "c2")
+    IcebergLite.append(spark, (90 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, Seq("k"), "c3")
+    assert(IcebergLite.snapshots(t) == Seq(0L, 1L, 2L))
+    assert(IcebergLite.readAt(spark, t, 0).count() == 40)
+    assert(IcebergLite.readAt(spark, t, 1).count() == 90)
+    assert(IcebergLite.readAt(spark, t, 2).count() == 100)
+    assert(IcebergLite.read(spark, t).count() == 100)
+    intercept[IllegalArgumentException](IcebergLite.readAt(spark, t, 7))
+  }
+
   test("manifest min/max pruning skips files that provably miss the range") {
     val t = tmpTable()
     // 4 files with disjoint key ranges (repartitionByRange keeps them sorted)
