@@ -35,6 +35,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules", GraftSession.ExcludedRules)
       // flagship corpus is many small files: bin ~1 file per split so both
       // parallelism levels run several task waves (straggler smoothing)
       .config("spark.sql.files.maxPartitionBytes", "8m")

@@ -11,6 +11,18 @@ import org.apache.spark.sql.SparkSession
  */
 object GraftSession {
 
+  /** InferFiltersFromGenerate synthesizes `size(g)>0 AND isnotnull(g)` from
+    * explode and InferFiltersFromConstraints re-adds the isnotnull — both
+    * get SUBSTITUTED through projections by predicate pushdown, re-running
+    * the expensive cell-cover UDF chain 1-2 extra times per row (measured:
+    * flagship join 25-40% slower with either rule on). Null/empty covers
+    * don't exist in this engine (cellCover of a valid geometry is non-empty)
+    * so the inferred filters buy nothing. See GeoFunctions.cellCoverUdf. */
+  val ExcludedRules: String = Seq(
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints"
+  ).mkString(",")
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -19,6 +31,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules", ExcludedRules)
       .config("spark.sql.session.timeZone", "UTC")
 
   def local(cores: Int): SparkSession = {

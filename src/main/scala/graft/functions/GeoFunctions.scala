@@ -17,25 +17,23 @@ object GeoFunctions {
 
   /** cellCover(wkt, res): Array[Long] — the engine's Generator (SURVEY §2.9).
     *
-    * Marked non-deterministic ON PURPOSE (it is pure): its result feeds
-    * `explode`, and Catalyst's InferFiltersFromGenerate otherwise synthesizes
-    * `size(cells) > 0 AND isnotnull(cells)`, which predicate pushdown then
-    * rewrites by SUBSTITUTING THIS WHOLE UDF CHAIN into a filter below the
-    * upstream exchange — evaluating the WKT parse + cover 2 extra times per
-    * row, serially. Measured 3-4× wall cost on the flagship join. The
-    * non-determinism flag is the supported way to fence an expensive UDF
-    * from being duplicated by the optimizer. */
+    * NOTE: this UDF's result feeds `explode`; Catalyst's
+    * InferFiltersFromGenerate synthesizes `size(cells) > 0 AND
+    * isnotnull(cells)` from that, and predicate pushdown then SUBSTITUTES
+    * the whole UDF chain into a filter below the upstream exchange —
+    * evaluating WKT parse + cover 2 extra times per row, serially (measured
+    * 3-4× flagship wall cost). [[graft.GraftSession]] therefore excludes
+    * that optimizer rule; an `.asNondeterministic()` fence would also work
+    * but kills column pruning through the projection (the scan then reads
+    * the full spans array it doesn't need — measured 1.5× scan cost). */
   val cellCoverUdf = udf((wkt: String, res: Int) => Geo.cellCoverWkt(wkt, res))
-    .asNondeterministic()
 
   /** Cell of a point. */
   val cellOfPointUdf = udf((lon: Double, lat: Double, res: Int) => CellIndex.cell(lon, lat, res))
 
-  /** k-ring of a point's cell (non-deterministic flag: same explode-pushdown
-    * fence as [[cellCoverUdf]]). */
+  /** k-ring of a point's cell (explode-fed: see [[cellCoverUdf]] note). */
   val kRingOfPointUdf =
     udf((lon: Double, lat: Double, res: Int, k: Int) => CellIndex.kRing(CellIndex.cell(lon, lat, res), k))
-      .asNondeterministic()
 
   /** JTS intersects; first arg is the cached/prepared (dimension) side. */
   val stIntersectsUdf = udf((dimWkt: String, probeWkt: String) => Geo.intersects(dimWkt, probeWkt))

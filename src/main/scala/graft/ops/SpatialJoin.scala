@@ -31,6 +31,28 @@ import graft.functions.GeoFunctions._
 object SpatialJoin {
 
   /**
+   * Cell occupancy histogram of a geometry column at `res` — the skew
+   * diagnostic the salting decision is made from (SURVEY §4.2; checkpoint it
+   * alongside lineage metrics for ops visibility).
+   */
+  def cellHistogram(df: DataFrame, wktCol: String, res: Int): DataFrame =
+    df.select(explode(cellCoverUdf(col(wktCol), lit(res))).as("cell"))
+      .groupBy("cell").count()
+
+  /**
+   * Data-driven salt sizing: S = hottest-cell count / (rows-per-task
+   * target), clamped to [1, 64]. A uniform corpus yields 1 (no salting
+   * overhead); a hotspot corpus yields the replication factor that splits
+   * its densest cell into ~`targetPerBucket`-row buckets.
+   */
+  def suggestSaltBuckets(df: DataFrame, wktCol: String, res: Int,
+                         targetPerBucket: Long = 500000L): Int = {
+    val top = cellHistogram(df, wktCol, res)
+      .agg(max("count")).collect()(0).getLong(0)
+    math.min(64L, math.max(1L, top / math.max(1L, targetPerBucket))).toInt
+  }
+
+  /**
    * @param probe   big side; must carry `probeWkt` column
    * @param dim     small side; must carry `dimWkt` column
    * @param res     cell resolution (2^res × 2^res world grid)

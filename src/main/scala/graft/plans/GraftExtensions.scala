@@ -42,7 +42,8 @@ object GraftExtensions {
   )
 
   /** Retrofit the functions + strategy onto an already-built session (the
-    * driver owns session construction in Verify/Bench). Idempotent. */
+    * driver owns session construction in Verify/Bench). Idempotent. Also
+    * applies the engine's optimizer-rule exclusions (runtime-settable). */
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
@@ -50,5 +51,6 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ SpatialJoinStrategy
+    spark.conf.set("spark.sql.optimizer.excludedRules", graft.GraftSession.ExcludedRules)
   }
 }

@@ -9,7 +9,7 @@ object ProbeParts {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master(sys.env.getOrElse("PROBE_MASTER", "local[32]"))
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", "32").config("spark.sql.optimizer.excludedRules", graft.GraftSession.ExcludedRules)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

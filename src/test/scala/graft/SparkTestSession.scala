@@ -9,6 +9,7 @@ object SparkTestSession {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.optimizer.excludedRules", graft.GraftSession.ExcludedRules)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

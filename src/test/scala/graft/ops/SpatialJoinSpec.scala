@@ -74,6 +74,20 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("histogram-driven salt sizing: hotspot corpus salts, uniform corpus doesn't") {
+    val hot = SynthCorpus.docs(spark, 3000, seed = 21L, hotspotFrac = 0.9)
+    val uniform = SynthCorpus.docs(spark, 3000, seed = 22L, hotspotFrac = 0.0)
+    // hotspot: ~2700 docs inside one 4°×4° box → one dense cell at res 5
+    val sHot = SpatialJoin.suggestSaltBuckets(hot, "wkt", res = 5, targetPerBucket = 300)
+    val sUni = SpatialJoin.suggestSaltBuckets(uniform, "wkt", res = 5, targetPerBucket = 300)
+    assert(sHot > 1, s"hotspot should salt, got $sHot")
+    assert(sUni == 1, s"uniform should not salt, got $sUni")
+    // histogram itself: hotspot max cell count dwarfs the uniform one
+    val mHot = SpatialJoin.cellHistogram(hot, "wkt", 5).agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+    val mUni = SpatialJoin.cellHistogram(uniform, "wkt", 5).agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+    assert(mHot > mUni * 5)
+  }
+
   test("synthetic docs generator: AM hotspot footprints get assigned on both seam sides") {
     val docs = SynthCorpus.docs(spark, 400, seed = 42L, hotspotFrac = 0.5, amFrac = 0.8)
     val assigned = TileAssign.assign(docs.select($"doc_id", $"wkt"), tiles, res = 5)
