@@ -37,6 +37,26 @@ object Geo {
   def fromWkt(wkt: String): Geometry = reader.get().read(wkt)
   def toWkt(g: Geometry): String = writer.get().write(g)
 
+  /** One-slot per-thread parse memo: within a task pipeline the SAME probe
+    * WKT is parsed by cellCover (projection) and again by the refine
+    * predicate (join filter) on the same thread moments later — the memo
+    * makes the second parse free without an unbounded cache over the
+    * distinct-per-row probe strings. Geometries are never mutated by the
+    * read paths (AM-split copies before shifting). */
+  private val lastParsed = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+  }
+  def fromWktCached(wkt: String): Geometry = {
+    val slot = lastParsed.get()
+    val k = slot(0).asInstanceOf[String]
+    if (k != null && (k.eq(wkt) || k == wkt)) slot(1).asInstanceOf[Geometry]
+    else {
+      val g = fromWkt(wkt)
+      slot(0) = wkt; slot(1) = g
+      g
+    }
+  }
+
   def prepared(wkt: String): PreparedGeometry = {
     val c = prepCache.get()
     var p = c.get(wkt)
@@ -54,7 +74,7 @@ object Geo {
     gf.createPoint(new Coordinate(lon, lat))
 
   def intersects(aWkt: String, bWkt: String): Boolean =
-    prepared(aWkt).intersects(fromWkt(bWkt))
+    prepared(aWkt).intersects(fromWktCached(bWkt))
 
   def distance(aWkt: String, bWkt: String): Double =
     fromWkt(aWkt).distance(fromWkt(bWkt))
@@ -160,5 +180,5 @@ object Geo {
     out.toArray
   }
 
-  def cellCoverWkt(wkt: String, res: Int): Array[Long] = cellCover(fromWkt(wkt), res)
+  def cellCoverWkt(wkt: String, res: Int): Array[Long] = cellCover(fromWktCached(wkt), res)
 }
