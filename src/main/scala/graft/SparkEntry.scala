@@ -73,6 +73,7 @@ object SparkEntry {
     "q12_rollup" -> ((s, d) => Relational.q12(s, d)),
     "q13_dates" -> ((s, d) => Relational.q13(s, d)),
     "q14_jobdoc" -> ((s, d) => Relational.q14(s, d)),
+    "q15_frame" -> ((s, d) => Relational.q15(s, d)),
     "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d))
   )
 
@@ -300,6 +301,13 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q14_jobdoc" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders""",
+    "q15_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       cast(sum(cast(floor(o_totalprice) AS bigint)) OVER w AS bigint) AS trail_sum,
+        |       count(*) OVER w AS trail_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
     "px_bitmask" ->
       s"""WITH px AS (${ops.Pixels.pixelsSql})
          |SELECT l_orderkey, l_linenumber,
@@ -654,6 +662,16 @@ object Relational {
       .select(col("o_orderkey"),
         date_format(col("acq_ts"), "yyyy-MM-dd HH:mm:ss").as("acq_s"),
         date_format(col("center_dt"), "yyyy-MM-dd HH:mm:ss").as("center_s"))
+
+  /** Frame-spec window (W5): trailing 3-order spend per customer. */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+      sum(floor(col("o_totalprice")).cast("long")).over(w).as("trail_sum"),
+      count(lit(1)).over(w).as("trail_n"))
+  }
 
   /** Job-doc sink semantics (S11): to_json job payload, then from_json
     * re-parse — the exact worker handshake (`worker-s2.ipynb` cell 2).

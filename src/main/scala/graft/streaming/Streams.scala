@@ -39,6 +39,16 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Sliding event-time window counts (window `window_`, hop `slide`). */
+  def slidingWindowedCounts(events: DataFrame, tsCol: String, window_ : String,
+                            slide: String, watermark: String): DataFrame =
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
   /** Drain all available input as micro-batches into an in-memory table;
     * returns when the queue is empty (the worker's `while not q.empty()`). */
   def drainToMemory(df: DataFrame, queryName: String, outputMode: OutputMode): Unit = {

@@ -35,6 +35,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.size >= (expected.size * 95) / 100, s"${got.size}/${expected.size} windows emitted")
   }
 
+  test("watermark drops late data; sliding windows count each event per hop") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft_late_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ck").toString
+    def write(rows: Seq[(java.sql.Timestamp, String)]): Unit =
+      rows.toDF("ts", "event_type").coalesce(1).write.mode("append").parquet(in)
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+    // batch 1: events in [10:00, 10:10) plus one at 10:21 to advance the watermark
+    write(Seq((t(1), "a"), (t(2), "a"), (t(7), "b"), (t(21), "c")))
+    val schema = spark.read.parquet(in).schema
+    val outDir = java.nio.file.Files.createTempDirectory("graft_late_out").toString
+    def drain(): Unit = {
+      val q = Streams.windowedCounts(
+          Streams.parquetStream(spark, in, schema), "ts", "10 minutes", "5 minutes")
+        .writeStream.format("parquet").option("path", outDir).outputMode("append")
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // batch 2: a LATE event at 10:03 — watermark is 10:21-5min=10:16 > window
+    // [10:00,10:10) end, so it must be DROPPED; plus 10:35 to advance further
+    write(Seq((t(3), "a"), (t(35), "c")))
+    drain()
+    val emitted = spark.read.parquet(outDir)
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, e, n) => (w, e) -> n }.toMap
+    // [10:00,10:10) × a finalized with count 2 (late 10:03 row NOT counted)
+    assert(emitted((t(0), "a")) == 2L, s"late row leaked into finalized window: $emitted")
+    assert(emitted((t(0), "b")) == 1L)
+
+    // sliding windows: one event lands in two 10-min/5-min-hop windows
+    val slide = Streams.slidingWindowedCounts(
+      Seq((t(7), "x")).toDF("ts", "event_type"), "ts", "10 minutes", "5 minutes", "0 seconds")
+    val wins = slide.select($"w_start").as[java.sql.Timestamp].collect().toSet
+    assert(wins == Set(t(0), t(5)))
+  }
+
   test("stateful lease tracker accumulates across micro-batches (queue protocol state)") {
     val events = Seq(
       Streams.Lease("job1", 1, "lease"), Streams.Lease("job1", 2, "complete"),
