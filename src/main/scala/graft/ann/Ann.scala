@@ -1,8 +1,33 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+
+/**
+ * Bounded top-k aggregator over (score, id) pairs: keeps the k best
+ * (score desc, id asc) per group IN THE PARTIAL BUFFER, so the per-probe
+ * shuffle carries k rows instead of the full candidate set — the map-side
+ * combine a window `row_number` ranking cannot do. Order is total
+ * (ties by id), so results are deterministic and oracle-exact.
+ */
+class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  private def insert(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = {
+    if (buf.size >= k) {
+      val worst = buf.last
+      if (v._1 < worst._1 || (v._1 == worst._1 && v._2 >= worst._2)) return buf
+    }
+    ((buf :+ v).sortBy { case (s, id) => (-s, id) }).take(k)
+  }
+  def zero: Seq[(Double, Long)] = Vector.empty
+  def reduce(b: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = insert(b, v)
+  def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (a ++ b).sortBy { case (s, id) => (-s, id) }.take(k)
+  def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+  def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+}
 
 /**
  * Similarity search over an embedding column (`Array[Float]`).
@@ -35,30 +60,40 @@ object Ann {
       (x, y) => floor(x.cast("double") * 1024) * floor(y.cast("double") * 1024)),
       lit(0L), (acc, v) => acc + v)
 
+  /** Unpack a TopKAgg result column into (rank, neighbor_id, score) rows. */
+  private def explodeTopK(df: DataFrame, scoreName: String): DataFrame =
+    df.select(col("probe_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("probe_id"), (col("i") + 1).cast("long").as("rank"),
+        col("t._2").as("neighbor_id"), col("t._1").as(scoreName))
+
   /** Exact cosine top-k of each probe against the corpus. Probes must be
-    * small (broadcast); corpus side stays narrow until the per-probe top-k
-    * window (the single shuffle, |corpus|·|probes| candidate rows). */
+    * small (broadcast); the corpus side is reduced MAP-SIDE to k candidates
+    * per probe per partition by [[TopKAgg]], so the only shuffle carries
+    * k·|probes| rows per partition — not |corpus|·|probes|. */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(p, col("probe_id") =!= col("neighbor_id")) // all pairs except self
-      .withColumn("sim", cosine(col("pe"), col("ce")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+    val agg = udaf(new TopKAgg(k))
+    explodeTopK(
+      c.join(p, col("probe_id") =!= col("neighbor_id")) // all pairs except self
+        .withColumn("sim", cosine(col("pe"), col("ce")))
+        .groupBy("probe_id").agg(agg(col("sim"), col("neighbor_id")).as("top")),
+      "sim")
   }
 
-  /** Exact quantized-dot top-k (the oracle-checked variant). */
+  /** Exact quantized-dot top-k (the oracle-checked variant). Quantized dots
+    * are ≤ 64·1024² in magnitude — exactly representable as Double in the
+    * aggregator's score slot. */
   def quantizedDotTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("neighbor_id"))
-    c.join(p, col("probe_id") =!= col("neighbor_id"))
-      .withColumn("dot", quantizedDot(col("pe"), col("ce")).cast("long"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("dot"))
+    val agg = udaf(new TopKAgg(k))
+    explodeTopK(
+      c.join(p, col("probe_id") =!= col("neighbor_id"))
+        .withColumn("dot", quantizedDot(col("pe"), col("ce")))
+        .groupBy("probe_id").agg(agg(col("dot"), col("neighbor_id")).as("top")),
+      "dot")
+      .withColumn("dot", col("dot").cast("long"))
   }
 
   /** Deterministic random hyperplanes: `tables` × `bitsPerTable` planes of
@@ -103,19 +138,19 @@ object Ann {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .withColumn("bks", bu(col("ce")))
       .select(col("neighbor_id"), col("ce"), posexplode(col("bks")).as(Seq("t", "bk")))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(p, Seq("t", "bk"))
-      .where(col("probe_id") =!= col("neighbor_id"))
-      // sim computed MAP-SIDE (before the dedup shuffle): a multi-table hit
-      // recomputes a 64-dim cosine (~100 ns) instead of shipping two
-      // 256-byte embeddings through the exchange — the shuffle payload is
-      // (probe_id, neighbor_id, sim) only.
-      .withColumn("sim", cosine(col("pe"), col("ce")))
-      .groupBy(col("probe_id"), col("neighbor_id")) // dedup multi-table hits
-      .agg(first(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+    val agg = udaf(new TopKAgg(k))
+    explodeTopK(
+      c.join(p, Seq("t", "bk"))
+        .where(col("probe_id") =!= col("neighbor_id"))
+        // sim computed MAP-SIDE (before the dedup shuffle): a multi-table hit
+        // recomputes a 64-dim cosine (~100 ns) instead of shipping two
+        // 256-byte embeddings through the exchange — the shuffle payload is
+        // (probe_id, neighbor_id, sim) only.
+        .withColumn("sim", cosine(col("pe"), col("ce")))
+        .groupBy(col("probe_id"), col("neighbor_id")) // dedup multi-table hits
+        .agg(first(col("sim")).as("sim"))
+        .groupBy("probe_id").agg(agg(col("sim"), col("neighbor_id")).as("top")),
+      "sim")
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets + threshold. */
