@@ -26,7 +26,8 @@ object GeoFunctions {
     * that optimizer rule; an `.asNondeterministic()` fence would also work
     * but kills column pruning through the projection (the scan then reads
     * the full spans array it doesn't need — measured 1.5× scan cost). */
-  val cellCoverUdf = udf((wkt: String, res: Int) => Geo.cellCoverWkt(wkt, res))
+  val cellCoverUdf = udf((wkt: String, res: Int) =>
+    if (wkt == null || wkt.isEmpty) Array.empty[Long] else Geo.cellCoverWkt(wkt, res))
 
   /** Cell of a point. */
   val cellOfPointUdf = udf((lon: Double, lat: Double, res: Int) => CellIndex.cell(lon, lat, res))
@@ -35,8 +36,12 @@ object GeoFunctions {
   val kRingOfPointUdf =
     udf((lon: Double, lat: Double, res: Int, k: Int) => CellIndex.kRing(CellIndex.cell(lon, lat, res), k))
 
-  /** JTS intersects; first arg is the cached/prepared (dimension) side. */
-  val stIntersectsUdf = udf((dimWkt: String, probeWkt: String) => Geo.intersects(dimWkt, probeWkt))
+  /** JTS intersects; first arg is the cached/prepared (dimension) side.
+    * Null/empty geometry intersects nothing (dirty rows drop out of joins
+    * instead of failing the task at 10^12-doc scale). */
+  val stIntersectsUdf = udf((dimWkt: String, probeWkt: String) =>
+    dimWkt != null && probeWkt != null && dimWkt.nonEmpty && probeWkt.nonEmpty &&
+      Geo.intersects(dimWkt, probeWkt))
 
   /** JTS euclidean distance in degrees (planar, as the reference's shapely distances). */
   val stDistanceUdf = udf((aWkt: String, bWkt: String) => Geo.distance(aWkt, bWkt))

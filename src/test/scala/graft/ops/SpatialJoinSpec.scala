@@ -74,6 +74,17 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("null/empty footprints drop out of the join instead of failing the task") {
+    val scenes = Seq(
+      (1L, Geo.rectWkt(10, 10, 12, 11)),
+      (2L, null.asInstanceOf[String]),
+      (3L, "")
+    ).toDF("doc_id", "wkt")
+    val got = TileAssign.assign(scenes, tiles, res = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
   test("histogram-driven salt sizing: hotspot corpus salts, uniform corpus doesn't") {
     val hot = SynthCorpus.docs(spark, 3000, seed = 21L, hotspotFrac = 0.9)
     val uniform = SynthCorpus.docs(spark, 3000, seed = 22L, hotspotFrac = 0.0)

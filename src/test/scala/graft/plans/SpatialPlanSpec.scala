@@ -82,6 +82,26 @@ class SpatialPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pure-SQL Search & Discover: spatial join + anti-join in one statement") {
+    withExtensions {
+      scenes.createOrReplaceTempView("sd_docs")
+      tiles.createOrReplaceTempView("sd_tiles")
+      val inv = graft.ops.TileAssign.assign(scenes, tiles.withColumnRenamed("tile_wkt", "wkt"))
+        .select(col("doc_id"), col("tile_id")).limit(50)
+      inv.createOrReplaceTempView("sd_inventory")
+      val remaining = spark.sql(
+        """WITH assigned AS (
+          |  SELECT d.doc_id, t.tile_id
+          |  FROM sd_docs d JOIN sd_tiles t ON st_intersects(t.tile_wkt, d.wkt))
+          |SELECT a.doc_id, a.tile_id FROM assigned a
+          |ANTI JOIN sd_inventory i
+          |  ON a.doc_id = i.doc_id AND a.tile_id = i.tile_id""".stripMargin)
+      assert(remaining.queryExecution.executedPlan.toString.contains("BroadcastSpatialJoinExec"))
+      val total = graft.ops.TileAssign.assign(scenes, tiles.withColumnRenamed("tile_wkt", "wkt")).count()
+      assert(remaining.count() == total - inv.count())
+    }
+  }
+
   test("st_cell_cover expression == Geo.cellCoverWkt") {
     withExtensions {
       val rows = scenes.limit(100)
