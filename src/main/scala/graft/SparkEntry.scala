@@ -51,6 +51,7 @@ object SparkEntry {
     "dd_norm" -> ((s, d) => TrainQueries.ddNorm(s, d)),
     "dd_minhash" -> ((s, d) => TrainQueries.ddMinhash(s, d)),
     "dd_simhash" -> ((s, d) => TrainQueries.ddSimhash(s, d)),
+    "dd_jaccard" -> ((s, d) => TrainQueries.ddJaccard(s, d)),
     "txt_quality" -> ((s, d) => TrainQueries.txtQuality(s, d)),
     "txt_lang" -> ((s, d) => TrainQueries.txtLang(s, d)),
     "txt_fingerprint" -> ((s, d) => TrainQueries.txtFingerprint(s, d)),
@@ -198,6 +199,16 @@ object SparkEntry {
         |SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ',')) AS key,
         |       min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM d2 GROUP BY 1""".stripMargin,
+    "dd_jaccard" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         list_distinct(string_split(text, ' ')) AS wa,
+        |         list_distinct(string_split(concat('zzz ', substring(text, 5, 100000)), ' ')) AS wb
+        |  FROM documents)
+        |SELECT doc_id,
+        |       cast(len(list_intersect(wa, wb)) AS bigint) AS n_inter,
+        |       cast(len(list_distinct(list_concat(wa, wb))) AS bigint) AS n_union
+        |FROM m""".stripMargin,
     "txt_quality" -> {
       val cols = graft.text.TextOps.qualitySqls("text")
         .map { case (n, e) => s"$e AS $n" }.mkString(",\n       ")
@@ -497,6 +508,17 @@ object TrainQueries {
   def ddSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashNearDups(mutatedCorpus(s, d), "doc_id", "text")
       .orderBy("id_a", "id_b")
+
+  /** Word-set Jaccard of each doc vs its mutated twin — exact integer
+    * intersection/union sizes (n-gram Jaccard family, SQL-oracle-exact). */
+  def ddJaccard(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val mut = base.select(col("doc_id"),
+      concat(lit("zzz "), substring(col("text"), 5, 100000)).as("text_b"))
+    val joined = base.join(mut, "doc_id")
+    val (ni, nu) = Dedup.wordJaccardParts(col("text"), col("text_b"))
+    joined.select(col("doc_id"), ni.cast("long").as("n_inter"), nu.cast("long").as("n_union"))
+  }
 
   def txtQuality(s: SparkSession, d: String): DataFrame = {
     val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }

@@ -120,6 +120,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Word-set Jaccard as pure Column algebra (codegen'd, SQL-oracle-exact):
+    * returns (|A∩B|, |A∪B|) over distinct whitespace tokens — integer
+    * outputs so cross-engine comparison is exact. */
+  def wordJaccardParts(a: Column, b: Column): (Column, Column) = {
+    val wa = array_distinct(split(a, " "))
+    val wb = array_distinct(split(b, " "))
+    (size(array_intersect(wa, wb)), size(array_union(wa, wb)))
+  }
+
   /** Brute-force q-gram Jaccard near-dups — O(N²) oracle for tests. */
   def bruteForceNearDups(df: DataFrame, idCol: String, textCol: String,
                          q: Int = 5, threshold: Double = 0.5): DataFrame = {

@@ -70,6 +70,35 @@ object Media {
   }
   val extractFeaturesUdf = udf(extractFeatures _)
 
+  /** Nearest-neighbor resize to (w2, h2) — the resize kernel shape (STUB
+    * sampling arithmetic; a real codec-backed impl replaces the body loop,
+    * the header/payload contract and Spark plumbing stay identical). */
+  def resize(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val m = decodeMeta(bytes)
+    val out = new Array[Byte](5 + w2 * h2 * m.channels)
+    out(0) = (w2 >> 8).toByte; out(1) = w2.toByte
+    out(2) = (h2 >> 8).toByte; out(3) = h2.toByte
+    out(4) = m.channels.toByte
+    var y = 0
+    while (y < h2) {
+      val sy = (y.toLong * m.height / h2).toInt
+      var x = 0
+      while (x < w2) {
+        val sx = (x.toLong * m.width / w2).toInt
+        var c = 0
+        while (c < m.channels) {
+          out(5 + (y * w2 + x) * m.channels + c) =
+            bytes(5 + (sy * m.width + sx) * m.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+  def resizeUdf(w2: Int, h2: Int) = udf((bytes: Array[Byte]) => resize(bytes, w2, h2))
+
   /** Sample n evenly-spaced "frames" (row blocks) — the frame-sample shape
     * for video-like payloads; returns the raw slices. */
   def frameSample(bytes: Array[Byte], n: Int): Array[Array[Byte]] = {

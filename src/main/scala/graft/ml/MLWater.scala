@@ -54,17 +54,21 @@ object MLWater {
             p: Params = Params()): RandomForestClassificationModel = {
     val labeled = px.where(validImg && validLab)
       .withColumn("label", waterLabel(col(pcCol), p.waterThresh))
-    assertClassCounts(labeled, "label", p.minPerClass)
-    val assembled = new VectorAssembler()
-      .setInputCols(bands.toArray).setOutputCol("features")
-      .setHandleInvalid("keep")
-      .transform(labeled.select(col("label") +: bands.map(b => col(b).cast("double")): _*))
-    new RandomForestClassifier()
-      .setNumTrees(p.numTrees)
-      .setMaxDepth(p.maxDepth)
-      .setFeatureSubsetStrategy("sqrt")
-      .setSeed(p.seed)
-      .fit(assembled)
+      .select(col("label") +: bands.map(b => col(b).cast("double")): _*)
+      .persist() // guard pass + RF's tree-depth passes reuse it, then release
+    try {
+      assertClassCounts(labeled, "label", p.minPerClass)
+      val assembled = new VectorAssembler()
+        .setInputCols(bands.toArray).setOutputCol("features")
+        .setHandleInvalid("keep")
+        .transform(labeled)
+      new RandomForestClassifier()
+        .setNumTrees(p.numTrees)
+        .setMaxDepth(p.maxDepth)
+        .setFeatureSubsetStrategy("sqrt")
+        .setSeed(p.seed)
+        .fit(assembled)
+    } finally labeled.unpersist()
   }
 
   /** Predict over the image-valid rows; invalid rows → −9999 on both

@@ -26,6 +26,19 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.frameSample(p, 4).zip(frames).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("resize: header rewritten, nearest-neighbor pixels preserved") {
+    val p = Media.fakePayload("ref2", 32, 16, 3)
+    val r = Media.resize(p, 16, 8)
+    val m = Media.decodeMeta(r)
+    assert(m.width == 16 && m.height == 8 && m.channels == 3)
+    assert(r.length == 5 + 16 * 8 * 3)
+    // 2× downsample: out(x,y) == in(2x,2y) for all channels
+    for (y <- 0 until 8; x <- 0 until 16; c <- 0 until 3)
+      assert(r(5 + (y * 16 + x) * 3 + c) == p(5 + (2 * y * 32 + 2 * x) * 3 + c))
+    // identity resize == original body
+    assert(Media.resize(p, 32, 16).sameElements(p))
+  }
+
   test("decodeBandSpans: schema, per-band rows, features normalized") {
     val docs = SynthCorpus.docs(spark, 50, seed = 42L)
     val out = Media.decodeBandSpans(docs.select($"doc_id", $"spans"))
