@@ -75,7 +75,9 @@ object SparkEntry {
     "q13_dates" -> ((s, d) => Relational.q13(s, d)),
     "q14_jobdoc" -> ((s, d) => Relational.q14(s, d)),
     "q15_frame" -> ((s, d) => Relational.q15(s, d)),
-    "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d))
+    "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d)),
+    "px_rasterize" -> ((s, d) => PixelQueries.rasterize(s, d)),
+    "px_reassemble" -> ((s, d) => PixelQueries.reassemble(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -324,7 +326,17 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber,
          |       (pixel_qa & 34) <> 0 AS cloudy_bit,
          |       (pixel_qa & 4) <> 0 AS water_bit
-         |FROM px""".stripMargin
+         |FROM px""".stripMargin,
+    "px_rasterize" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT l_orderkey, l_linenumber, py, px,
+         |       (px + 0.5) BETWEEN 10.5 AND 40.5 AND (py + 0.5) BETWEEN 10.5 AND 50.5 AS in_aoi
+         |FROM px""".stripMargin,
+    "px_reassemble" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT py, string_agg(cast(red2 AS varchar), ','
+         |         ORDER BY px, l_orderkey, l_linenumber, red2) AS row_values
+         |FROM px GROUP BY py""".stripMargin
   )
 }
 
@@ -456,6 +468,19 @@ object PixelQueries {
     px(s, d).select(col("l_orderkey"), col("l_linenumber"),
       (col("pixel_qa").bitwiseAND(lit(1 << 1 | 1 << 5)) =!= 0).as("cloudy_bit"),
       (col("pixel_qa").bitwiseAND(lit(1 << 2)) =!= 0).as("water_bit"))
+
+  /** AOI rasterization: PIP of pixel centers on a unit grid at (0,0),
+    * AOI = rect (10.5, 10.5) – (40.5, 50.5) (genprepWater.py:270-281). */
+  def rasterize(s: SparkSession, d: String): DataFrame =
+    Raster.rasterizeMask(px(s, d), graft.geom.Geo.rectWkt(10.5, 10.5, 40.5, 50.5),
+      x0 = 0.0, y0 = 0.0, dx = 1.0, dy = 1.0)
+      .select("l_orderkey", "l_linenumber", "py", "px", "in_aoi")
+
+  /** Pixel → raster-row reassembly (per-py rows, red2 values in
+    * (px, l_orderkey, l_linenumber) order). */
+  def reassemble(s: SparkSession, d: String): DataFrame =
+    Raster.reassembleRows(px(s, d), rowKey = Seq("py"),
+      orderCols = Seq("px", "l_orderkey", "l_linenumber"), v = "red2")
 
   def summary(s: SparkSession, d: String): DataFrame = {
     val agg = udaf(WofsStatsAgg)
