@@ -55,8 +55,10 @@ object Bench {
                             shuffled: Boolean = false, saltBuckets: Int = 1): Long = {
     val docs = spark.read.parquet(corpusPath)
     val tiles = graft.model.SynthCorpus.tileGrid(spark).drop("path", "row")
+    // geometry probed from the corpus's WKB column — the storage-side
+    // binary encoding a production (Iceberg/GeoParquet) table would hold
     graft.ops.TileAssign.assign(docs, tiles, shuffled = shuffled,
-      saltBuckets = saltBuckets).count()
+      saltBuckets = saltBuckets, geomCol = "wkb").count()
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -79,7 +81,7 @@ object Bench {
     var scalingMd = ""
     var rate4N = 0.0
     if (!skipScaling) {
-      val corpus = s"/tmp/graft_bench_corpus_$nDocs"
+      val corpus = s"/tmp/graft_bench_corpus_v2_$nDocs" // v2: + wkb column
       if (!Files.exists(Paths.get(corpus, "_SUCCESS"))) {
         val s = session(32)
         graft.model.SynthCorpus.docs(s, nDocs)

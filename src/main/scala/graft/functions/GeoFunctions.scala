@@ -29,6 +29,15 @@ object GeoFunctions {
   val cellCoverUdf = udf((wkt: String, res: Int) =>
     if (wkt == null || wkt.isEmpty) Array.empty[Long] else Geo.cellCoverWkt(wkt, res))
 
+  /** WKB (binary, storage-side) variants: the doc table may carry geometry
+    * as WKB — ~5× cheaper to parse than WKT. */
+  val cellCoverWkbUdf = udf((wkb: Array[Byte], res: Int) =>
+    if (wkb == null || wkb.isEmpty) Array.empty[Long] else Geo.cellCoverWkb(wkb, res))
+  val stIntersectsWkbUdf = udf((dimWkt: String, probeWkb: Array[Byte]) =>
+    dimWkt != null && probeWkb != null && dimWkt.nonEmpty && probeWkb.nonEmpty &&
+      Geo.intersectsWkb(dimWkt, probeWkb))
+  val wktToWkbUdf = udf((wkt: String) => Geo.toWkb(Geo.fromWkt(wkt)))
+
   /** Cell of a point. */
   val cellOfPointUdf = udf((lon: Double, lat: Double, res: Int) => CellIndex.cell(lon, lat, res))
 

@@ -2,7 +2,7 @@ package graft.geom
 
 import org.locationtech.jts.geom._
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
-import org.locationtech.jts.io.{WKTReader, WKTWriter}
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
 import graft.cells.CellIndex
 
 /**
@@ -37,6 +37,17 @@ object Geo {
   def fromWkt(wkt: String): Geometry = reader.get().read(wkt)
   def toWkt(g: Geometry): String = writer.get().write(g)
 
+  // WKB is the storage-side geometry encoding (what an Iceberg/GeoParquet
+  // table would hold): ~5× cheaper to parse than WKT and byte-exact.
+  private val wkbReader = new ThreadLocal[WKBReader] {
+    override def initialValue(): WKBReader = new WKBReader(gf)
+  }
+  private val wkbWriter = new ThreadLocal[WKBWriter] {
+    override def initialValue(): WKBWriter = new WKBWriter()
+  }
+  def fromWkb(wkb: Array[Byte]): Geometry = wkbReader.get().read(wkb)
+  def toWkb(g: Geometry): Array[Byte] = wkbWriter.get().write(g)
+
   /** One-slot per-thread parse memo: within a task pipeline the SAME probe
     * WKT is parsed by cellCover (projection) and again by the refine
     * predicate (join filter) on the same thread moments later — the memo
@@ -56,6 +67,28 @@ object Geo {
       g
     }
   }
+
+  private val lastParsedWkb = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+  }
+  def fromWkbCached(wkb: Array[Byte]): Geometry = {
+    val slot = lastParsedWkb.get()
+    val k = slot(0).asInstanceOf[Array[Byte]]
+    if (k != null && (k.eq(wkb) || java.util.Arrays.equals(k, wkb))) slot(1).asInstanceOf[Geometry]
+    else {
+      val g = fromWkb(wkb)
+      slot(0) = wkb; slot(1) = g
+      g
+    }
+  }
+
+  /** Prepared(WKT dim) × WKB probe intersects — the mixed form the cover
+    * join uses when the doc table stores geometry as binary. */
+  def intersectsWkb(dimWkt: String, probeWkb: Array[Byte]): Boolean =
+    prepared(dimWkt).intersects(fromWkbCached(probeWkb))
+
+  def cellCoverWkb(wkb: Array[Byte], res: Int): Array[Long] =
+    cellCover(fromWkbCached(wkb), res)
 
   def prepared(wkt: String): PreparedGeometry = {
     val c = prepCache.get()

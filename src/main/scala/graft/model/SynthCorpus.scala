@@ -121,17 +121,30 @@ object SynthCorpus {
       when(col("x0") + 1.5 >= 180.0, col("x0") + 1.5 - 360.0).otherwise(col("x0") + 1.5).as("xmax"),
       (col("ymin") + 1.0).as("ymax")
     )
-    withSpansColumn(withGeom.withColumn("wkt", amRectWktUdf(col("xmin"), col("ymin"), col("xmax"), col("ymax"))))
+    withSpansColumn(withGeom
+      .withColumn("__g", amRectUdf(col("xmin"), col("ymin"), col("xmax"), col("ymax")))
+      .withColumn("wkt", col("__g._1"))
+      .withColumn("wkb", col("__g._2")) // storage-side binary encoding
+      .drop("__g"))
+  }
+
+  private def amRectGeom(xmin: Double, ymin: Double, xmax: Double, ymax: Double) =
+    if (xmin <= xmax) graft.geom.Geo.rect(xmin, ymin, xmax, ymax)
+    else { // AM-wrapped: split into a MULTIPOLYGON either side of ±180
+      val e = graft.geom.Geo.rect(xmin, ymin, 180.0, ymax)
+      val w = graft.geom.Geo.rect(-180.0, ymin, xmax, ymax)
+      e.union(w)
+    }
+
+  /** Rect geometry (AM-split when wrapped) as (WKT, WKB). */
+  val amRectUdf = udf { (xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
+    val g = amRectGeom(xmin, ymin, xmax, ymax)
+    (graft.geom.Geo.toWkt(g), graft.geom.Geo.toWkb(g))
   }
 
   /** Rect WKT that AM-splits wrapped boxes (xmin > xmax) into a MULTIPOLYGON. */
   val amRectWktUdf = udf { (xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
-    if (xmin <= xmax) graft.geom.Geo.rectWkt(xmin, ymin, xmax, ymax)
-    else {
-      val e = graft.geom.Geo.rect(xmin, ymin, 180.0, ymax)
-      val w = graft.geom.Geo.rect(-180.0, ymin, xmax, ymax)
-      graft.geom.Geo.toWkt(e.union(w))
-    }
+    graft.geom.Geo.toWkt(amRectGeom(xmin, ymin, xmax, ymax))
   }
 
   /** Build the interleaved `spans` column: meta spans (platform, footprint)

@@ -65,7 +65,14 @@ object SpatialJoin {
                     dim: DataFrame, dimWkt: String,
                     res: Int, shuffled: Boolean = false,
                     saltBuckets: Int = 1): DataFrame = {
-    val p = probe.withColumn("__cells", cellCoverUdf(col(probeWkt), lit(res)))
+    // probe geometry may be WKT (string) or WKB (binary, the storage-side
+    // encoding — ~5× cheaper to parse); dimension side stays WKT (small,
+    // parsed once per task via the prepared-geometry LRU)
+    val probeIsWkb = probe.schema(probeWkt).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val cover = if (probeIsWkb) cellCoverWkbUdf else cellCoverUdf
+    val refine = if (probeIsWkb) stIntersectsWkbUdf else stIntersectsUdf
+    val p = probe.withColumn("__cells", cover(col(probeWkt), lit(res)))
     val d = dim.withColumn("__tcells", cellCoverUdf(col(dimWkt), lit(res)))
 
     val (pk, dk) =
@@ -95,7 +102,7 @@ object SpatialJoin {
          else split(col("__cell"), ":").getItem(0).cast("long"))
           === array_min(array_intersect(col("__cells"), col("__tcells"))))
       // exact geometric refine (reference: shapely intersects, cell 10)
-      .where(stIntersectsUdf(col(dimWkt), col(probeWkt)))
+      .where(refine(col(dimWkt), col(probeWkt)))
       .drop("__cell", "__cells", "__tcells")
   }
 }

@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
  */
 object TileAssign {
 
-  /** Geometric assignment: footprint × tile polygons via the cell-cover join. */
+  /** Geometric assignment: footprint × tile polygons via the cell-cover join.
+    * `geomCol` may be WKT (string) or WKB (binary). */
   def assign(scenes: DataFrame, tiles: DataFrame, res: Int = 5,
-             shuffled: Boolean = false, saltBuckets: Int = 1): DataFrame =
-    SpatialJoin.intersectJoin(scenes, "wkt", tiles.withColumnRenamed("wkt", "tile_wkt"),
+             shuffled: Boolean = false, saltBuckets: Int = 1,
+             geomCol: String = "wkt"): DataFrame =
+    SpatialJoin.intersectJoin(scenes, geomCol, tiles.withColumnRenamed("wkt", "tile_wkt"),
       "tile_wkt", res, shuffled, saltBuckets)
       .drop("tile_wkt")
 

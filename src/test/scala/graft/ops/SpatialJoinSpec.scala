@@ -74,6 +74,15 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("WKB probe path ≡ WKT probe path (binary storage encoding)") {
+    val docs = SynthCorpus.docs(spark, 500, seed = 31L) // carries wkt AND wkb
+    def pairs(geomCol: String) =
+      TileAssign.assign(docs.select($"doc_id", col(geomCol)), tiles, res = 5, geomCol = geomCol)
+        .select($"doc_id", $"tile_id").as[(String, String)].collect().toSet
+    assert(pairs("wkb") == pairs("wkt"))
+    assert(pairs("wkt").nonEmpty)
+  }
+
   test("null/empty footprints drop out of the join instead of failing the task") {
     val scenes = Seq(
       (1L, Geo.rectWkt(10, 10, 12, 11)),
