@@ -42,6 +42,7 @@ object Checkpoint {
   def runStage(spark: SparkSession, base: String, stage: String,
                input: DataFrame, keyCol: String, commitId: String)
               (compute: DataFrame => DataFrame): (DataFrame, Long) = {
+    val t0 = System.nanoTime()
     val done = committedKeys(spark, base, stage, keyCol)
     val todo =
       if (done.isEmpty) input
@@ -52,6 +53,7 @@ object Checkpoint {
 
     val out = compute(todo)
     IcebergLite.append(spark, out, outputTable(base, stage), Seq(keyCol), commitId)
+    val wallMs = (System.nanoTime() - t0) / 1000000L
 
     // lineage + metrics from the files just written (no plan re-execution:
     // `out` must not be computed twice at 100 TB)
@@ -67,6 +69,7 @@ object Checkpoint {
         expr(s"bit_xor(xxhash64($keyCol))").as("checksum"))
       .withColumn("stage", lit(stage))
       .withColumn("rows_in", lit(todoCount))
+      .withColumn("wall_ms", lit(wallMs))
       .withColumn("status", lit("committed"))
       .withColumn("commit_id", lit(commitId))
     IcebergLite.append(spark, metrics, logTable(base, stage), Seq("partition_id"), commitId)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * Uses the exact Bench session confs so walls are comparable. */
 object ProbeFlagship {
   def main(args: Array[String]): Unit = {
-    val corpus = if (args.nonEmpty) args(0) else "/tmp/graft_bench_corpus_10000000"
+    val corpus = if (args.nonEmpty) args(0) else "/tmp/graft_bench_corpus_v2_10000000"
     val excluded = sys.env.getOrElse("GRAFT_EXCLUDE",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     val spark = SparkSession.builder().master("local[16]")
