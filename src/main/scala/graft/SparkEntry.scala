@@ -75,6 +75,7 @@ object SparkEntry {
     "q13_dates" -> ((s, d) => Relational.q13(s, d)),
     "q14_jobdoc" -> ((s, d) => Relational.q14(s, d)),
     "q15_frame" -> ((s, d) => Relational.q15(s, d)),
+    "q16_bands" -> ((s, d) => Relational.q16(s, d)),
     "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d)),
     "px_rasterize" -> ((s, d) => PixelQueries.rasterize(s, d)),
     "px_reassemble" -> ((s, d) => PixelQueries.reassemble(s, d))
@@ -327,6 +328,22 @@ object SparkEntry {
          |       (pixel_qa & 34) <> 0 AS cloudy_bit,
          |       (pixel_qa & 4) <> 0 AS water_bit
          |FROM px""".stripMargin,
+    "q16_bands" -> {
+      import graft.model.BandNames
+      def list(keys: Seq[String], n: Int) =
+        keys.sorted.map(k => s"'$k'").mkString("([", ", ", s"])[cast(doc_id % $n AS int) + 1]")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CASE cast(doc_id % 4 AS int)
+         |      WHEN 0 THEN concat('LE07_L1TP_074072_20190101_20190127_01_T1_', ${list(BandNames.l7.keys.toSeq, BandNames.l7.size)}, '.tif')
+         |      WHEN 1 THEN concat('LC08_L1TP_074072_20190101_20190127_01_T1_', ${list(BandNames.l8.keys.toSeq, BandNames.l8.size)}, '.tif')
+         |      WHEN 2 THEN concat('T60KWE_20190124T221941_', ${list(BandNames.s2L2A.keys.toSeq, BandNames.s2L2A.size)}, '.tif')
+         |      ELSE concat('MCD43A4.A2019010.h31v10.', ${list(BandNames.mcd43a4.keys.toSeq, BandNames.mcd43a4.size)}, '.tif')
+         |    END AS fname
+         |  FROM documents)
+         |SELECT doc_id, fname, ${BandNames.normalizeSql("fname")} AS band
+         |FROM f""".stripMargin
+    },
     "px_rasterize" ->
       s"""WITH px AS (${ops.Pixels.pixelsSql})
          |SELECT l_orderkey, l_linenumber, py, px,
@@ -718,6 +735,26 @@ object Relational {
     t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
       sum(floor(col("o_totalprice")).cast("long")).over(w).as("trail_sum"),
       count(lit(1)).over(w).as("trail_n"))
+  }
+
+  /** Band-name normalization (P2): synthesize one product file name per doc
+    * across the four sensor families, normalize to the canonical band. */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    import graft.model.BandNames
+    val fam = (col("doc_id") % 4).cast("int")
+    def pick(keys: Seq[String], n: org.apache.spark.sql.Column) =
+      element_at(typedLit(keys.sorted), (n % keys.size + 1).cast("int"))
+    val fname =
+      when(fam === 0, concat(lit("LE07_L1TP_074072_20190101_20190127_01_T1_"),
+        pick(BandNames.l7.keys.toSeq, col("doc_id")), lit(".tif")))
+      .when(fam === 1, concat(lit("LC08_L1TP_074072_20190101_20190127_01_T1_"),
+        pick(BandNames.l8.keys.toSeq, col("doc_id")), lit(".tif")))
+      .when(fam === 2, concat(lit("T60KWE_20190124T221941_"),
+        pick(BandNames.s2L2A.keys.toSeq, col("doc_id")), lit(".tif")))
+      .otherwise(concat(lit("MCD43A4.A2019010.h31v10."),
+        pick(BandNames.mcd43a4.keys.toSeq, col("doc_id")), lit(".tif")))
+    t(s, d, "documents").select(col("doc_id"), fname.as("fname"))
+      .withColumn("band", BandNames.normalizeColumn(col("fname")))
   }
 
   /** Job-doc sink semantics (S11): to_json job payload, then from_json
