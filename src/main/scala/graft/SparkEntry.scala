@@ -58,6 +58,7 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => TrainQueries.annTopK(s, d)),
     "ann_lsh" -> ((s, d) => TrainQueries.annLsh(s, d)),
     "ann_neardup" -> ((s, d) => TrainQueries.annNearDup(s, d)),
+    "ann_ivf" -> ((s, d) => TrainQueries.annIvf(s, d)),
     "media_decode" -> ((s, d) => TrainQueries.mediaDecode(s, d)),
     // --- relational plane (SURVEY §2.2-2.7) ---
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
@@ -581,6 +582,11 @@ object TrainQueries {
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     Ann.lshTopK(e.where(col("vec_id") < 100), e, k = 3, dim = 64, tables = 16, bits = 8)
+  }
+
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Ann.ivfTopK(e.where(col("vec_id") < 100), e, k = 3, dim = 64, nlist = 16, nprobe = 4)
   }
 
   def annNearDup(s: SparkSession, d: String): DataFrame = {

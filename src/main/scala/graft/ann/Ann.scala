@@ -153,6 +153,65 @@ object Ann {
       "sim")
   }
 
+  /**
+   * IVF (inverted-file) ANN — the other scale path the training-data brief
+   * names: a k-means coarse quantizer (spark.ml, seeded) partitions the
+   * corpus into `nlist` cells; each probe searches only its `nprobe`
+   * nearest cells' posting lists (equi-join on cell id), exact cosine
+   * re-rank among candidates via [[TopKAgg]].
+   *
+   * At 100 TB the posting lists are the partitioning key of the stored
+   * corpus (write-once `partitionBy(cell)`), so a probe touches
+   * nprobe/nlist of the data; here the assignment is computed inline.
+   */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
+      .fit(corpusVec.select("features"))
+    val centers = km.clusterCenters.map(_.toArray)
+
+    // posting lists: corpus rows keyed by their cell
+    val assignUdf = udf { (e: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        var d = 0.0; var i = 0
+        val ctr = centers(c)
+        while (i < e.length) { val t = e(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    // probes fan out to their nprobe nearest cells
+    val probeCellsUdf = udf { (e: Seq[Float]) =>
+      centers.indices.map { c =>
+        var d = 0.0; var i = 0
+        val ctr = centers(c)
+        while (i < e.length) { val t = e(i) - ctr(i); d += t * t; i += 1 }
+        (d, c)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+
+    val posts = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .withColumn("cell", assignUdf(col("ce")))
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .withColumn("cell", explode(probeCellsUdf(col("pe")))))
+    val agg = udaf(new TopKAgg(k))
+    explodeTopK(
+      posts.join(p, Seq("cell"))
+        .where(col("probe_id") =!= col("neighbor_id"))
+        .withColumn("sim", cosine(col("pe"), col("ce")))
+        .groupBy(col("probe_id"), col("neighbor_id")).agg(first(col("sim")).as("sim"))
+        .groupBy("probe_id").agg(agg(col("sim"), col("neighbor_id")).as("top")),
+      "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets + threshold. */
   def cosineNearDups(df: DataFrame, dim: Int, threshold: Double,
                      tables: Int = 8, bits: Int = 10, seed: Long = 42L): DataFrame = {

@@ -41,6 +41,18 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall@3=$recall")
   }
 
+  test("IVF top-k recall@3 ≥ 0.7 vs brute force; deterministic across runs") {
+    val probes = embs.where($"vec_id" < 50)
+    val truth = Ann.bruteForceTopK(probes, embs, k = 3)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Ann.ivfTopK(probes, embs, k = 3, dim = 64, nlist = 16, nprobe = 6)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = run()
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    assert(recall >= 0.7, s"IVF recall@3=$recall")
+    assert(run() == approx, "IVF not deterministic under fixed seed")
+  }
+
   test("cosineNearDups finds exact duplicates with sim≈1") {
     val e = embs.select($"vec_id", $"embedding").limit(100)
     val dup = e.select(($"vec_id" + 1000).as("vec_id"), $"embedding")
