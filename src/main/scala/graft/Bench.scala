@@ -73,7 +73,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "10000000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000000").toLong
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
     // ---- phase 1: flagship scaling (N=8 vs 4N=32 threads, same input) ----
