@@ -9,11 +9,12 @@ import java.nio.file.{Files, Paths}
  *
  * 1. **Flagship throughput + scaling efficiency** (BASELINE.json north rule):
  *    the H3-style spatial-join + tile-assignment job over the synthetic
- *    interleaved-document corpus, run at two parallelism levels
- *    (`local[8]` = N and `local[32]` = 4N, same input parquet, shuffle
- *    partitions scaled proportionally, AQE on). Reports scenes/sec at both
- *    and `efficiency = (rate_4N / rate_N) / 4` (target ≥ 0.8). One discarded
- *    warmup run, median of 3 measured runs, per the protocol in BASELINE.md.
+ *    interleaved-document corpus (WKB geometry), run at two parallelism
+ *    levels (`local[2]` = N and `local[8]` = 4N, same input parquet, shuffle
+ *    partitions scaled proportionally, AQE on, runs interleaved). Reports
+ *    scenes/sec at both and `efficiency = (rate_4N / rate_N) / 4` (target
+ *    ≥ 0.8), plus the shuffled+salted skew path. One discarded warmup per
+ *    level, medians of 3, per the protocol in BASELINE.md.
  *
  * 2. **Per-query timings** of every `SparkEntry.queries` entry on
  *    `SPARK_GRAFT_SF_DIR` at `SPARK_GRAFT_CPUS` (default 32).

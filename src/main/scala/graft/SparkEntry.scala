@@ -77,6 +77,7 @@ object SparkEntry {
     "q14_jobdoc" -> ((s, d) => Relational.q14(s, d)),
     "q15_frame" -> ((s, d) => Relational.q15(s, d)),
     "q16_bands" -> ((s, d) => Relational.q16(s, d)),
+    "q17_inventory" -> ((s, d) => Relational.q17(s, d)),
     "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d)),
     "px_rasterize" -> ((s, d) => PixelQueries.rasterize(s, d)),
     "px_reassemble" -> ((s, d) => PixelQueries.reassemble(s, d))
@@ -345,6 +346,18 @@ object SparkEntry {
          |SELECT doc_id, fname, ${BandNames.normalizeSql("fname")} AS band
          |FROM f""".stripMargin
     },
+    "q17_inventory" ->
+      """WITH inv AS (
+        |  SELECT concat('common_sensing/fiji/sentinel_2/S2scene',
+        |                cast(l_orderkey % 500 AS varchar), '/band',
+        |                cast(l_linenumber AS varchar), '.tif') AS path,
+        |         cast(floor(l_extendedprice * 10) AS bigint) AS size
+        |  FROM lineitem)
+        |SELECT string_split(path, '/')[4] AS scenename,
+        |       count(*) AS n_objects,
+        |       cast(sum(size) AS bigint) AS sac_size,
+        |       count(*) >= 7 AS sac_done
+        |FROM inv GROUP BY 1""".stripMargin,
     "px_rasterize" ->
       s"""WITH px AS (${ops.Pixels.pixelsSql})
          |SELECT l_orderkey, l_linenumber, py, px,
@@ -762,6 +775,19 @@ object Relational {
     t(s, d, "documents").select(col("doc_id"), fname.as("fname"))
       .withColumn("band", BandNames.normalizeColumn(col("fname")))
   }
+
+  /** S3 inventory rollup (S1 + A1 + P1, cells 26-28): derive scenename from
+    * the object path (`path.split('/')[3]`), group, sum sizes, flag done. */
+  def q17(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(concat(lit("common_sensing/fiji/sentinel_2/S2scene"),
+        (col("l_orderkey") % 500).cast("string"), lit("/band"),
+        col("l_linenumber").cast("string"), lit(".tif")).as("path"),
+        floor(col("l_extendedprice") * 10).cast("long").as("size"))
+      .withColumn("scenename", element_at(split(col("path"), "/"), 4))
+      .groupBy("scenename")
+      .agg(count(lit(1)).as("n_objects"), sum("size").as("sac_size"))
+      .withColumn("sac_done", col("n_objects") >= 7)
 
   /** Job-doc sink semantics (S11): to_json job payload, then from_json
     * re-parse — the exact worker handshake (`worker-s2.ipynb` cell 2).
