@@ -169,10 +169,11 @@ object Ann {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val corpusVec = corpus.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20)
-      .fit(corpusVec.select("features"))
+    val features = corpus
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      .cache() // KMeans iterates; avoid re-decoding parquet per iteration
+    val km = try new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(features)
+      finally features.unpersist()
     val centers = km.clusterCenters.map(_.toArray)
 
     // posting lists: corpus rows keyed by their cell
