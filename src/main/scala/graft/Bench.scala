@@ -195,17 +195,32 @@ object Bench {
     val spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a crashing query must FAIL the bench visibly (null timing + an entry
+      // in "errors"), never masquerade as a fast wall time
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.replaceAll("\\s+", " ").take(300)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     spark.stop()
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, err) =>
+      if (err.isEmpty) f""""$k":$v%.3f""" else s""""$k":null"""
+    }.mkString("{", ",", "}")
+    val errsJson = results.collect { case (k, _, Some(e)) => s""""$k":${jq(e)}""" }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(_._3.isDefined)
+    val total = results.filter(_._3.isEmpty).map(_._2).sum
     println(
-      f"""{"metric":"scenes_per_sec_tile_assign_4N","value":$rate4N%.1f,"unit":"scenes/sec","total_query_sec":$total%.2f,"queries":$qs,"sf":"$sfDir","scaling":$scalingJson}""")
+      f"""{"metric":"scenes_per_sec_tile_assign_4N","value":$rate4N%.1f,"unit":"scenes/sec","total_query_sec":$total%.2f,"failed_queries":$nFailed,"errors":$errsJson,"queries":$qs,"sf":"$sfDir","scaling":$scalingJson}""")
 
-    val qmd = results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")
+    val qmd = results.map {
+      case (k, v, None) => f"| $k | $v%.3f |"
+      case (k, _, Some(e)) => s"| $k | FAILED: ${e.take(120)} |"
+    }.mkString("\n")
     Files.writeString(Paths.get("BENCH.md"),
       s"""# BENCH — measured results (generated by graft.Bench)
          |

@@ -63,13 +63,17 @@ object FracCover {
     e
   }
 
-  /** Per-pixel solve: scaled bands → expanded features (with the bias slot
-    * replaced by the weighted sum-to-one target) → NNLS → clip ×100. */
+  /** Per-pixel solve: scaled bands → expanded features → NNLS → clip ×100.
+    * The constraint row is ASYMMETRIC by the reference's literal arithmetic
+    * (`dc_fractional_coverage_classifier.py:96-111`): the feature vector's
+    * last slot is a plain 1.0 (`ones` appended to band_stack) while the
+    * endmember matrix's last row is 0.02 (`SumToOneWeight`), i.e. the NNLS
+    * target for that row is 1.0 against 0.02-weighted coefficients, pushing
+    * sum(x) toward 1/0.02 = 50 before the [0, 2.54] clip. */
   def solvePixel(e: Array[Array[Double]],
                  blue: Double, green: Double, red: Double,
                  nir: Double, swir1: Double, swir2: Double): Array[Int] = {
     val f = expand(Array(blue, green, red, nir, swir1, swir2).map(_ * 0.0001))
-    f(63) = SumToOneWeight * 1.0 // target of the sum-to-one row, same weight as E's row
     val x = Nnls.solve(e, f)
     x.map(v => (math.max(0.0, math.min(2.54, v)) * 100).toInt)
   }

@@ -31,22 +31,37 @@ import graft.functions.GeoFunctions._
 object Knn {
 
   /** Per-JVM cache of STRtrees keyed by broadcast id (one build per executor,
-    * not per task). */
-  private val treeCache = new java.util.concurrent.ConcurrentHashMap[Long, (STRtree, Double)]()
+    * not per task). BOUNDED access-order LRU: repeated nearestTiles() calls in
+    * a long-lived session each create a new broadcast, so an unbounded map
+    * would pin every historical tree forever. Evicted trees are rebuilt from
+    * the (BlockManager-managed, spillable) broadcast if re-queried. */
+  private val MaxCachedTrees = 8
+  private val treeCache =
+    new java.util.LinkedHashMap[Long, (STRtree, Double)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, (STRtree, Double)]): Boolean =
+        size() > MaxCachedTrees
+    }
 
   private def treeFor(bc: Broadcast[Array[(String, String)]]): (STRtree, Double) =
-    treeCache.computeIfAbsent(bc.id, _ => {
-      val tree = new STRtree()
-      var maxDiag = 0.0
-      bc.value.foreach { case (id, wkt) =>
-        val env = graft.geom.Geo.fromWkt(wkt).getEnvelopeInternal
-        val diag = math.sqrt(env.getWidth * env.getWidth + env.getHeight * env.getHeight)
-        if (diag > maxDiag) maxDiag = diag
-        tree.insert(env, (id, wkt))
+    treeCache.synchronized {
+      val cached = treeCache.get(bc.id)
+      if (cached != null) cached
+      else {
+        val tree = new STRtree()
+        var maxDiag = 0.0
+        bc.value.foreach { case (id, wkt) =>
+          val env = graft.geom.Geo.fromWkt(wkt).getEnvelopeInternal
+          val diag = math.sqrt(env.getWidth * env.getWidth + env.getHeight * env.getHeight)
+          if (diag > maxDiag) maxDiag = diag
+          tree.insert(env, (id, wkt))
+        }
+        tree.build()
+        val v = (tree, math.max(maxDiag, 1e-9))
+        treeCache.put(bc.id, v)
+        v
       }
-      tree.build()
-      (tree, math.max(maxDiag, 1e-9))
-    })
+    }
 
   /** Exact top-k by expanding envelope; returns (tile_id, dist, rank). */
   private[ops] def queryKnn(bc: Broadcast[Array[(String, String)]],
@@ -82,6 +97,12 @@ object Knn {
   def nearestTiles(points: DataFrame, tiles: DataFrame, k: Int,
                    res: Int = 3, ring: Int = 1): DataFrame = {
     val spark = points.sparkSession
+    // same guard as SpatialJoinStrategy: never driver-collect a side the user
+    // sized out of broadcasting (or disabled broadcasting for)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val dimBytes = tiles.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold <= 0 || dimBytes > BigInt(math.max(threshold, 10L << 20)) * 8)
+      return nearestTilesShuffled(points, tiles, k, res, ring)
     val tileArr = tiles.select("tile_id", "wkt").collect()
       .map(r => (r.getString(0), r.getString(1)))
     val bc = spark.sparkContext.broadcast(tileArr)

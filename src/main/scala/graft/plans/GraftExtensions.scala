@@ -51,6 +51,10 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ SpatialJoinStrategy
-    spark.conf.set("spark.sql.optimizer.excludedRules", graft.GraftSession.ExcludedRules)
+    // merge with (never clobber) exclusions the host application already set
+    val existing = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val merged = (existing ++ graft.GraftSession.ExcludedRules.split(",")).distinct
+    spark.conf.set("spark.sql.optimizer.excludedRules", merged.mkString(","))
   }
 }

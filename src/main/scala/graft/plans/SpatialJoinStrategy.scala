@@ -48,8 +48,12 @@ object SpatialJoinStrategy extends SparkStrategy with PredicateHelper {
       matched match {
         case Some((si, leftWkt, rightWkt)) =>
           val rest = conjuncts.filterNot(_ eq si).reduceOption(And)
-          val maxBuild = math.max(
-            org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold, 10L << 20) * 8
+          val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+          // a user who disabled broadcasting (threshold <= 0) must never get a
+          // driver collect from this strategy — decline and let the caller use
+          // the shuffled cell-cover join
+          if (threshold <= 0) return Nil
+          val maxBuild = math.max(threshold, 10L << 20) * 8
           val buildRightSide = right.stats.sizeInBytes <= left.stats.sizeInBytes
           val buildStats = (if (buildRightSide) right else left).stats.sizeInBytes
           if (buildStats > maxBuild) Nil // too big to broadcast; caller should cell-cover join

@@ -25,34 +25,46 @@ object Checkpoint {
   def outputTable(base: String, stage: String): String = s"$base/$stage/output"
   def logTable(base: String, stage: String): String = s"$base/$stage/commitlog"
 
-  /** Committed keys of a stage (empty frame if never committed). */
-  def committedKeys(spark: SparkSession, base: String, stage: String, keyCol: String): DataFrame =
+  /** Committed keys of a stage (None if never committed). */
+  def committedKeys(spark: SparkSession, base: String, stage: String,
+                    keyCol: String): Option[DataFrame] =
     if (IcebergLite.currentSnapshotId(outputTable(base, stage)).isDefined)
-      IcebergLite.read(spark, outputTable(base, stage)).select(col(keyCol)).distinct()
-    else spark.emptyDataFrame
+      Some(IcebergLite.read(spark, outputTable(base, stage)).select(col(keyCol)).distinct())
+    else None
 
   /**
    * Run `compute` over only the not-yet-committed slice of `input`
    * (left_anti on `keyCol`), appending output + lineage metrics atomically.
    * Returns (newly computed rows, number of input keys actually processed).
    *
+   * The input is scanned exactly ONCE: rows-in is collected by an
+   * `Observation` riding the write job (no pre-count — at 100 TB a
+   * count-then-compute would double every stage's read). When the observed
+   * rows-in is 0 the snapshot pointer is not swapped, so no-op re-runs
+   * leave the table's commit lineage untouched (the orphaned empty data dir
+   * is unreferenced, same as a crash before commit).
+   *
    * `commitId` must be caller-supplied and deterministic per attempt
-   * (no wall-clock in the engine — SURVEY §7.4).
+   * (no wall-clock in the engine — SURVEY §7.4). `compute` must be a pure
+   * transformation (no actions of its own), or the observation resolves on
+   * the wrong job.
    */
   def runStage(spark: SparkSession, base: String, stage: String,
                input: DataFrame, keyCol: String, commitId: String)
               (compute: DataFrame => DataFrame): (DataFrame, Long) = {
     val t0 = System.nanoTime()
-    val done = committedKeys(spark, base, stage, keyCol)
-    val todo =
-      if (done.isEmpty) input
-      else input.join(done.withColumnRenamed(keyCol, "__done_key"),
+    val todo = committedKeys(spark, base, stage, keyCol) match {
+      case None => input
+      case Some(done) => input.join(done.withColumnRenamed(keyCol, "__done_key"),
         col(keyCol) === col("__done_key"), "left_anti")
-    val todoCount = todo.count()
+    }
+    val obs = new org.apache.spark.sql.Observation(s"graft_${stage}_$commitId")
+    val out = compute(todo.observe(obs, count(lit(1)).as("rows_in")))
+    IcebergLite.writeData(out, outputTable(base, stage), commitId)
+    val todoCount = obs.get("rows_in").asInstanceOf[Long]
     if (todoCount == 0) return (spark.emptyDataFrame, 0L)
-
-    val out = compute(todo)
-    IcebergLite.append(spark, out, outputTable(base, stage), Seq(keyCol), commitId)
+    IcebergLite.commitWritten(spark, out.schema.json, outputTable(base, stage),
+      Seq(keyCol), commitId)
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
     // lineage + metrics from the files just written (no plan re-execution:

@@ -53,11 +53,15 @@ object IcebergLite {
   def snapshots(table: String): Seq[Long] = {
     val d = metaDir(table)
     if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") =>
-        s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
-      .toSeq.sorted
+    else {
+      val st = Files.list(d) // must be closed: leaks a directory fd otherwise
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snapshot-") =>
+          s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+        .toSeq.sorted
+      finally st.close()
+    }
   }
 
   /** Time-travel read: the table exactly as of snapshot `id` (Iceberg's
@@ -82,9 +86,22 @@ object IcebergLite {
    */
   def append(spark: SparkSession, df: DataFrame, table: String,
              statsCols: Seq[String], commitId: String): Snapshot = {
-    val dataDir = Paths.get(table, "data", commitId)
-    df.write.mode("overwrite").parquet(dataDir.toString)
+    writeData(df, table, commitId)
+    commitWritten(spark, df.schema.json, table, statsCols, commitId)
+  }
 
+  /** Phase 1 of [[append]]: write the data files only (no snapshot yet).
+    * Until [[commitWritten]] runs, the files are unreferenced — a crash here
+    * is invisible to readers, exactly the SAC_DONE re-scan semantics. */
+  def writeData(df: DataFrame, table: String, commitId: String): Unit =
+    df.write.mode("overwrite").parquet(Paths.get(table, "data", commitId).toString)
+
+  /** Phase 2 of [[append]]: stat the files written by [[writeData]] and swap
+    * the snapshot pointer. Split out so a caller can inspect the write's
+    * observed metrics (e.g. rows-in) before deciding to commit. */
+  def commitWritten(spark: SparkSession, schemaJson: String, table: String,
+                    statsCols: Seq[String], commitId: String): Snapshot = {
+    val dataDir = Paths.get(table, "data", commitId)
     // one-pass per-file stats
     val statAggs = statsCols.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c")))
@@ -100,7 +117,7 @@ object IcebergLite {
 
     val parent = currentSnapshotId(table).getOrElse(-1L)
     val prevFiles = readSnapshot(table).map(_.files).getOrElse(Nil)
-    val snap = Snapshot(parent + 1, parent, df.schema.json, prevFiles ++ entries)
+    val snap = Snapshot(parent + 1, parent, schemaJson, prevFiles ++ entries)
 
     Files.createDirectories(metaDir(table))
     Files.writeString(metaDir(table).resolve(s"snapshot-${snap.id}.json"), renderSnapshot(snap))
