@@ -26,6 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- spatial core (SURVEY §2.3 J1/J2/J8) ---
     "geo_tile_assign" -> ((s, d) => GeoQueries.tileAssign(s, d)),
+    "geo_name_assign" -> ((s, d) => GeoQueries.nameAssign(s, d)),
     "geo_pip" -> ((s, d) => GeoQueries.pip(s, d)),
     "geo_knn" -> ((s, d) => GeoQueries.knn(s, d)),
     "geo_assign_spans" -> ((s, d) => GeoQueries.assignSpans(s, d)),
@@ -90,6 +91,43 @@ object SparkEntry {
          |FROM scenes s JOIN tiles t
          |  ON s.xmin <= t.txmax AND s.xmax >= t.txmin
          | AND s.ymin <= t.tymax AND s.ymax >= t.tymin""".stripMargin,
+    "geo_name_assign" -> {
+      val mgrs = """_T(\d{4})(_|$)"""
+      val modis = """\.h(\d{2})v(\d{2})\."""
+      val wrs = """^L[A-Z]\d{2}_[A-Z0-9]+_(\d{6})_"""
+      s"""WITH tiles AS (${SynthCorpus.tilesSql}),
+         |named AS (
+         |  SELECT o_orderkey AS doc_id,
+         |    CASE cast(o_orderkey % 3 AS int)
+         |      WHEN 0 THEN concat('S2A_MSIL2A_20190124T221941_T',
+         |                         lpad(cast(o_orderkey % 24 AS varchar), 2, '0'),
+         |                         lpad(cast(o_orderkey % 18 AS varchar), 2, '0'), '_R129')
+         |      WHEN 1 THEN concat('LC08_L1TP_',
+         |                         lpad(cast(o_orderkey % 24 AS varchar), 3, '0'),
+         |                         lpad(cast(o_orderkey % 18 AS varchar), 3, '0'),
+         |                         '_20190101_20190127_01_T1')
+         |      ELSE concat('MCD43A4.A2019010.h',
+         |                  lpad(cast(o_orderkey % 24 AS varchar), 2, '0'), 'v',
+         |                  lpad(cast(o_orderkey % 18 AS varchar), 2, '0'), '.006.2019019120153')
+         |    END AS scenename
+         |  FROM orders),
+         |parsed AS (
+         |  SELECT doc_id, scenename,
+         |    CASE
+         |      WHEN regexp_extract(scenename, '$mgrs', 1) <> ''
+         |        THEN concat('T', regexp_extract(scenename, '$mgrs', 1))
+         |      WHEN regexp_extract(scenename, '$modis', 1) <> ''
+         |        THEN concat('T', regexp_extract(scenename, '$modis', 1),
+         |                         regexp_extract(scenename, '$modis', 2))
+         |      WHEN regexp_extract(scenename, '$wrs', 1) <> ''
+         |        THEN concat('T',
+         |          lpad(cast(cast(substring(regexp_extract(scenename, '$wrs', 1), 1, 3) AS int) AS varchar), 2, '0'),
+         |          lpad(cast(cast(substring(regexp_extract(scenename, '$wrs', 1), 4, 3) AS int) AS varchar), 2, '0'))
+         |    END AS tile_key
+         |  FROM named)
+         |SELECT p.doc_id AS doc_id, p.scenename AS scenename, t.tile_id AS tile_id
+         |FROM parsed p JOIN tiles t ON p.tile_key = t.tile_id""".stripMargin
+    },
     "geo_pip" ->
       s"""WITH scenes AS (${SynthCorpus.scenesSql}), tiles AS (${SynthCorpus.tilesSql})
          |SELECT s.doc_id AS doc_id, t.tile_id AS tile_id
@@ -380,6 +418,25 @@ object GeoQueries {
   def tileAssign(s: SparkSession, dir: String): DataFrame =
     TileAssign.assign(scenesFromOrders(s, dir), tiles(s))
       .select(col("doc_id"), col("tile_id"))
+
+  /** J2 gridded-name path: scene names carrying the tile key in the three
+    * reference naming families (MGRS / WRS path-row / MODIS hv), parsed and
+    * broadcast-equi-joined against the grid — zero shuffles over the docs. */
+  def nameAssign(s: SparkSession, dir: String): DataFrame = {
+    val p2 = lpad((col("o_orderkey") % 24).cast("string"), 2, "0")
+    val r2 = lpad((col("o_orderkey") % 18).cast("string"), 2, "0")
+    val p3 = lpad((col("o_orderkey") % 24).cast("string"), 3, "0")
+    val r3 = lpad((col("o_orderkey") % 18).cast("string"), 3, "0")
+    val fam = (col("o_orderkey") % 3).cast("int")
+    val named = s.read.parquet(s"$dir/orders.parquet").select(
+      col("o_orderkey").as("doc_id"),
+      when(fam === 0, concat(lit("S2A_MSIL2A_20190124T221941_T"), p2, r2, lit("_R129")))
+        .when(fam === 1, concat(lit("LC08_L1TP_"), p3, r3, lit("_20190101_20190127_01_T1")))
+        .otherwise(concat(lit("MCD43A4.A2019010.h"), p2, lit("v"), r2, lit(".006.2019019120153")))
+        .as("scenename"))
+    TileAssign.assignByName(named, tileGrid(s), nameCol = "scenename")
+      .select(col("doc_id"), col("scenename"), col("tile_id"))
+  }
 
   def pip(s: SparkSession, dir: String): DataFrame = {
     val pts = scenesFromOrders(s, dir)
