@@ -84,7 +84,33 @@ object SparkEntry {
     "px_reassemble" -> ((s, d) => PixelQueries.reassemble(s, d))
   )
 
+  /** DuckDB twin of TrainQueries.mutatedCorpus. */
+  private val mutatedCorpusSql: String =
+    """SELECT doc_id, text FROM documents WHERE doc_id < 200
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, concat('zzz ', substring(text, 5, 100000)) AS text
+      |FROM documents WHERE doc_id < 200""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dd_minhash" -> graft.dedup.Dedup.minhashOracleSql(mutatedCorpusSql),
+    "dd_simhash" -> graft.dedup.Dedup.simhashOracleSql(mutatedCorpusSql),
+    "ml_fraccover" -> graft.ml.FracCover.oracleSql(
+      ops.Pixels.pixelsSql, ops.CleanMask.s2Sql("scene_classification")),
+    "media_decode" -> {
+      val bands = graft.model.Bands.byPlatform("SENTINEL_2")
+      val sp = bands.zipWithIndex.map { case (b, i) => s"('$b', ${i + 2})" }.mkString(", ")
+      s"""WITH ids AS (SELECT o_orderkey AS doc_id FROM orders WHERE o_orderkey % 30 = 0),
+         |sp(band, off) AS (VALUES $sp),
+         |refs AS (SELECT doc_id, band, off,
+         |                concat(cast(doc_id AS varchar), '_', band, '.tif') AS ref
+         |         FROM ids CROSS JOIN sp),
+         |hs AS (SELECT doc_id, band, off, ${graft.media.Media.hashCodeSql("ref")} AS h FROM refs)
+         |SELECT cast(doc_id AS varchar) AS doc_id, band, cast(off AS int) AS "offset",
+         |       cast(16 + abs(h % 17) AS int) AS width,
+         |       cast(16 + abs(h % 13) AS int) AS height,
+         |       3 AS channels, 3 AS n_features
+         |FROM hs""".stripMargin
+    },
     "geo_tile_assign" ->
       s"""WITH scenes AS (${SynthCorpus.scenesSql}), tiles AS (${SynthCorpus.tilesSql})
          |SELECT s.doc_id AS doc_id, t.tile_id AS tile_id
@@ -669,7 +695,7 @@ object TrainQueries {
   def mediaDecode(s: SparkSession, d: String): DataFrame = {
     val scenes = graft.model.SynthCorpus.scenesFromOrders(s, d)
       .withColumn("platform", lit("SENTINEL_2"))
-      .limit(500)
+      .where(col("doc_id") % 30 === 0) // deterministic subset (limit() is not)
     val withSpans = graft.model.SynthCorpus.withSpansColumn(scenes)
     graft.media.Media.decodeBandSpans(withSpans.select(col("doc_id").cast("string").as("doc_id"), col("spans")))
       .select(col("doc_id"), col("band"), col("offset"),

@@ -92,32 +92,137 @@ object Dedup {
   /**
    * MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
    * bands×rowsPerBand = signature length. Emits (id_a, id_b, jaccard) with
-   * id_a < id_b, jaccard ≥ threshold, deduped across bands shuffle-free
-   * (pair reported only on its smallest matching band).
+   * id_a < id_b, jaccard ≥ threshold.
+   *
+   * 100 TB shuffle discipline (this is the scale-critical part):
+   *  - the banded self-join carries ONLY (id, band, 4-long band slice) —
+   *    44 bytes/row — never the document text; joining on the slice values
+   *    themselves (not a hash of them) keeps candidate generation exact,
+   *    hence DuckDB-oracle-checkable;
+   *  - cross-band dedup is a groupBy on (id_a, id_b) — ids only;
+   *  - texts are hash-joined back BY ID for the exact-Jaccard verify, so
+   *    each text crosses an exchange at most once, keyed by id, instead of
+   *    once per band through the candidate join.
    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       q: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashUdf(q, k, seed)(col("text")))
-    val banded = sig.select(col("id"), col("text"), col("sig"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bkey", xxhash64(col("band"),
-        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
-    val l = banded.select(col("band").as("band_l"), col("bkey"), col("id").as("id_a"),
-      col("text").as("text_a"), col("sig").as("sig_l"))
-    val r = banded.select(col("band").as("band_r"), col("bkey"), col("id").as("id_b"),
-      col("text").as("text_b"), col("sig").as("sig_r"))
-    l.join(r, Seq("bkey"))
-      .where(col("id_a") < col("id_b") && col("band_l") === col("band_r"))
-      // report a pair only on the first band where its bucket keys collide
-      .withColumn("first_band", min(col("band_l"))
-        .over(Window.partitionBy(col("id_a"), col("id_b"))))
-      .where(col("band_l") === col("first_band"))
+    val ids = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val cand = minhashCandidates(ids, q, bands, rowsPerBand, seed)
+    cand
+      .join(ids.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(ids.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("jaccard", jaccardUdf(q)(col("text_a"), col("text_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Candidate (id_a, id_b) pairs sharing ≥1 identical signature band —
+    * text-free by construction. */
+  private[dedup] def minhashCandidates(ids: DataFrame, q: Int, bands: Int,
+                                       rowsPerBand: Int, seed: Long): DataFrame = {
+    val k = bands * rowsPerBand
+    val banded = ids
+      .select(col("id"), minhashUdf(q, k, seed)(col("text")).as("sig"))
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("id"), col("band"),
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)).as("bslice"))
+    val l = banded.select(col("band"), col("bslice"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bslice"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bslice"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b") // dedup multi-band hits: ids-only shuffle
+      .agg(count(lit(1)).as("__nbands"))
+      .drop("__nbands")
+  }
+
+  // ---------------- DuckDB oracle renderings ----------------
+  //
+  // The sketches are deterministic integer arithmetic (FNV-1a shingles,
+  // seeded universal-hash permutations, SimHash bit votes), so the ENTIRE
+  // operator — signature, banding, candidate join, exact verify — has an
+  // ANSI-SQL twin. 64-bit wraparound is emulated in hugeint (128-bit) with
+  // an explicit mod-2^64 fold back to signed; comparisons then agree with
+  // JVM signed-long semantics bit for bit.
+
+  /** SQL for 64-bit wraparound of a hugeint expression, folded to signed. */
+  private def wrapSql(e: String): String = {
+    val M = "18446744073709551616::hugeint"
+    val m = s"((($e) % $M) + $M) % $M"
+    s"cast((CASE WHEN $m >= 9223372036854775808::hugeint THEN $m - $M ELSE $m END) AS bigint)"
+  }
+
+  private val FnvInit = "(-3750763034362895579)::bigint" // 0xcbf29ce484222325
+  private val FnvPrime = "1099511628211::hugeint"        // 0x100000001b3
+
+  /** DuckDB twin of [[minhashNearDups]] over `corpusSql` (a SELECT yielding
+    * (doc_id, text)). Permutation constants are drawn from the SAME seeded
+    * stream as [[minhash]] and emitted as literals. */
+  def minhashOracleSql(corpusSql: String, q: Int = 5, bands: Int = 8,
+                       rowsPerBand: Int = 4, threshold: Double = 0.5,
+                       seed: Long = 42L): String = {
+    val k = bands * rowsPerBand
+    val rnd = new java.util.Random(seed)
+    val perms = Array.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
+    val permValues = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"($i, ($a)::hugeint, ($b)::hugeint)"
+    }.mkString(",\n    ")
+    // FNV-1a over the q characters of each shingle, one CTE per step
+    val fnvSteps = (1 to q).map { j =>
+      val prev = if (j == 1) "g0" else s"g${j - 1}"
+      s"g$j AS (SELECT doc_id, g, ${wrapSql(s"(xor(h, ascii(substring(g, $j, 1))))::hugeint * $FnvPrime")} AS h FROM $prev)"
+    }.mkString(",\n")
+    s"""WITH d2 AS ($corpusSql),
+       |gr AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - ${q - 1})) AS i FROM d2),
+       |g0 AS (SELECT doc_id, substring(text, i, $q) AS g, $FnvInit AS h FROM gr),
+       |$fnvSteps,
+       |hashed AS (SELECT DISTINCT doc_id, h AS x FROM g$q),
+       |perms(pi, pa, pb) AS (VALUES
+       |    $permValues),
+       |pv AS (SELECT h.doc_id, p.pi, min(${wrapSql("p.pa * (h.x)::hugeint + p.pb")}) AS s
+       |       FROM hashed h CROSS JOIN perms p GROUP BY h.doc_id, p.pi),
+       |bk AS (SELECT doc_id, cast(pi // $rowsPerBand AS int) AS band, list(s ORDER BY pi) AS slice
+       |       FROM pv GROUP BY doc_id, cast(pi // $rowsPerBand AS int)),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |         FROM bk l JOIN bk r ON l.band = r.band AND l.slice = r.slice
+       |                            AND l.doc_id < r.doc_id),
+       |sets AS (SELECT doc_id, list(x) AS xs FROM hashed GROUP BY doc_id),
+       |pairs AS (SELECT c.id_a, c.id_b,
+       |                 len(list_intersect(a.xs, b.xs)) AS ni,
+       |                 len(a.xs) + len(b.xs) - len(list_intersect(a.xs, b.xs)) AS nu
+       |          FROM cand c JOIN sets a ON a.doc_id = c.id_a
+       |                      JOIN sets b ON b.doc_id = c.id_b)
+       |SELECT id_a, id_b, cast(ni AS double) / nu AS jaccard
+       |FROM pairs WHERE cast(ni AS double) / nu >= $threshold""".stripMargin
+  }
+
+  /** DuckDB twin of [[simhashNearDups]] + [[graft.text.TextOps.simhash64]]
+    * over `corpusSql` — FNV-1a token hashes via list_reduce, bit votes,
+    * pigeonhole chunk join, exact hamming verify. */
+  def simhashOracleSql(corpusSql: String, chunks: Int = 4, maxHamming: Int = 3): String = {
+    val bits = 64 / chunks
+    val mask = (1L << bits) - 1
+    s"""WITH d2 AS ($corpusSql),
+       |toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d2),
+       |toks AS (SELECT doc_id, list_reduce(
+       |    list_prepend($FnvInit,
+       |      list_transform(generate_series(1, length(tok)), j -> ascii(substring(tok, j, 1))::bigint)),
+       |    (acc, c) -> ${wrapSql(s"(xor(acc, c))::hugeint * $FnvPrime")}) AS th
+       |  FROM toks0),
+       |bits AS (SELECT doc_id, th, unnest(generate_series(0, 63)) AS b FROM toks),
+       |votes AS (SELECT doc_id, b, sum(CASE WHEN ((th >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM bits GROUP BY doc_id, b),
+       |sig AS (SELECT doc_id, cast(sum(CASE WHEN v > 0 THEN
+       |            (CASE WHEN b = 63 THEN (-9223372036854775808)::hugeint
+       |                  ELSE ((1::bigint << b))::hugeint END)
+       |          ELSE 0::hugeint END) AS bigint) AS sh
+       |        FROM votes GROUP BY doc_id),
+       |chv AS (SELECT doc_id, sh, ci, (sh >> (ci * $bits)) & $mask AS cv
+       |        FROM (SELECT doc_id, sh, unnest(generate_series(0, ${chunks - 1})) AS ci FROM sig)),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+       |         FROM chv l JOIN chv r ON l.ci = r.ci AND l.cv = r.cv AND l.doc_id < r.doc_id)
+       |SELECT id_a, id_b, cast(bit_count(xor(sh_a, sh_b)) AS int) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $maxHamming""".stripMargin
   }
 
   /** Word-set Jaccard as pure Column algebra (codegen'd, SQL-oracle-exact):

@@ -113,6 +113,18 @@ object Media {
   }
   def frameSampleUdf(n: Int) = udf((bytes: Array[Byte]) => frameSample(bytes, n))
 
+  /** DuckDB rendering of `java.lang.String.hashCode` of a varchar expression
+    * (31-polynomial over UTF-16 units with int32 wraparound; exact for the
+    * ASCII media_refs here) — lets the STUB payload header (width/height
+    * derive from `ref.hashCode`) be oracle-checked end to end. */
+  def hashCodeSql(ref: String): String = {
+    val m = s"(((acc * 31 + c) % 4294967296) + 4294967296) % 4294967296"
+    val wrap32 = s"cast((CASE WHEN $m >= 2147483648 THEN $m - 4294967296 ELSE $m END) AS bigint)"
+    s"""list_reduce(list_prepend(0::bigint,
+       |      list_transform(generate_series(1, length($ref)), j -> ascii(substring($ref, j, 1))::bigint)),
+       |    (acc, c) -> $wrap32)""".stripMargin
+  }
+
   /**
    * Full pipeline over an interleaved-doc table: resolve band spans to media
    * payloads, decode metadata, extract features. At scale the payload column

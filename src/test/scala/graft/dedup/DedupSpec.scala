@@ -37,6 +37,23 @@ class DedupSpec extends AnyFunSuite {
     assert(truth.nonEmpty && recall >= 0.9, s"recall=$recall truth=${truth.size}")
   }
 
+  test("minhash band join shuffles no text: every band-keyed exchange is text-free") {
+    val df = corpus(60, 7L).toDF("doc_id", "text")
+    val plan = Dedup.minhashNearDups(df, "doc_id", "text").queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        (e.outputPartitioning.toString, e.output.map(_.name))
+    }
+    // candidate-generation exchanges (keyed by band/bslice or by the pair ids)
+    // must never carry a text column; text may cross only keyed by its own id
+    exchanges.foreach { case (part, out) =>
+      if (part.contains("band") || part.contains("bslice") ||
+          (part.contains("id_a") && part.contains("id_b")))
+        assert(!out.exists(_.startsWith("text")),
+          s"text column rides a candidate exchange: $part -> $out")
+    }
+  }
+
   test("exact jaccard identities") {
     assert(Dedup.jaccard("abcdef", "abcdef", 3) == 1.0)
     assert(Dedup.jaccard("abcdef", "uvwxyz", 3) == 0.0)
