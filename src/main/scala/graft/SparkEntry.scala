@@ -79,6 +79,8 @@ object SparkEntry {
     "q15_frame" -> ((s, d) => Relational.q15(s, d)),
     "q16_bands" -> ((s, d) => Relational.q16(s, d)),
     "q17_inventory" -> ((s, d) => Relational.q17(s, d)),
+    "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
+    "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d)),
     "px_rasterize" -> ((s, d) => PixelQueries.rasterize(s, d)),
     "px_reassemble" -> ((s, d) => PixelQueries.reassemble(s, d))
@@ -422,6 +424,31 @@ object SparkEntry {
         |       cast(sum(size) AS bigint) AS sac_size,
         |       count(*) >= 7 AS sac_done
         |FROM inv GROUP BY 1""".stripMargin,
+    "q18_timestamps" ->
+      """WITH t AS (SELECT o_orderkey,
+        |                  o_orderdate + to_seconds(cast(o_orderkey % 86400 AS bigint)) AS ts
+        |           FROM orders)
+        |SELECT o_orderkey,
+        |  CASE cast(o_orderkey % 4 AS int)
+        |    WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |    WHEN 1 THEN strftime(ts, '%Y/%m/%d %H:%M:%S')
+        |    WHEN 2 THEN strftime(ts, '%Y%m%d')
+        |    ELSE strftime(ts, '%d.%m.%Y %H:%M:%S') END AS raw,
+        |  CASE WHEN cast(o_orderkey % 4 AS int) = 2
+        |       THEN strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')
+        |       ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS parsed_s
+        |FROM t""".stripMargin,
+    "q19_priority" ->
+      s"""WITH scenes AS (${SynthCorpus.scenesSql}), tiles AS (${SynthCorpus.tilesSql}),
+         |assign AS (
+         |  SELECT s.doc_id, t.tile_id
+         |  FROM scenes s JOIN tiles t
+         |    ON s.xmin <= t.txmax AND s.xmax >= t.txmin
+         |   AND s.ymin <= t.tymax AND s.ymax >= t.tymin),
+         |counts AS (SELECT tile_id, count(*) AS n_scenes FROM assign GROUP BY tile_id)
+         |SELECT tile_id, n_scenes,
+         |       row_number() OVER (ORDER BY n_scenes DESC, tile_id) AS priority
+         |FROM counts""".stripMargin,
     "px_rasterize" ->
       s"""WITH px AS (${ops.Pixels.pixelsSql})
          |SELECT l_orderkey, l_linenumber, py, px,
@@ -682,7 +709,8 @@ object TrainQueries {
 
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    Ann.ivfTopK(e.where(col("vec_id") < 100), e, k = 3, dim = 64, nlist = 16, nprobe = 4)
+    Ann.ivfTopK(e.where(col("vec_id") < 100), e, k = 3, dim = 64, nlist = 16, nprobe = 4,
+      maxTrain = 10000) // quantizer trains on a bounded sample, never the corpus
   }
 
   def annNearDup(s: SparkSession, d: String): DataFrame = {
@@ -871,6 +899,42 @@ object Relational {
       .groupBy("scenename")
       .agg(count(lit(1)).as("n_objects"), sum("size").as("sac_size"))
       .withColumn("sac_done", col("n_objects") >= 7)
+
+  /** Multi-format timestamp fallback parsing (`utils/prepLS.py:210-218`:
+    * several strptime patterns tried in order, dateutil as last resort) —
+    * the Spark form is a coalesced `try_to_timestamp` chain: each pattern
+    * yields null on mismatch, the first success wins. Raw strings are
+    * synthesized in four formats cycling by key; output is the canonical
+    * re-rendering of the parsed instant. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val ts = expr("timestampadd(SECOND, cast(o_orderkey % 86400 AS int), cast(o_orderdate AS timestamp))")
+    val fam = (col("o_orderkey") % 4).cast("int")
+    val raw = when(fam === 0, date_format(ts, "yyyy-MM-dd HH:mm:ss"))
+      .when(fam === 1, date_format(ts, "yyyy/MM/dd HH:mm:ss"))
+      .when(fam === 2, date_format(ts, "yyyyMMdd"))
+      .otherwise(date_format(ts, "dd.MM.yyyy HH:mm:ss"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), raw.as("raw"))
+      .withColumn("parsed", coalesce(
+        expr("try_to_timestamp(raw, 'yyyy-MM-dd HH:mm:ss')"),
+        expr("try_to_timestamp(raw, 'yyyy/MM/dd HH:mm:ss')"),
+        expr("try_to_timestamp(raw, 'yyyyMMdd')"),
+        expr("try_to_timestamp(raw, 'dd.MM.yyyy HH:mm:ss')")))
+      .select(col("o_orderkey"), col("raw"),
+        date_format(col("parsed"), "yyyy-MM-dd HH:mm:ss").as("parsed_s"))
+  }
+
+  /** Per-tile completeness ranking (cells 212-217): tile assignment →
+    * per-tile scene counts → priority rank (count desc, tile asc) — the
+    * computed form of the reference's hand-maintained priority list. The
+    * global window runs over the TILE GRID (dimension-sized, 432 rows),
+    * never the doc side. */
+  def q19(s: SparkSession, d: String): DataFrame = {
+    val counts = GeoQueries.tileAssign(s, d).groupBy("tile_id")
+      .agg(count(lit(1)).as("n_scenes"))
+    counts.withColumn("priority",
+      row_number().over(Window.orderBy(col("n_scenes").desc, col("tile_id"))).cast("long"))
+  }
 
   /** Job-doc sink semantics (S11): to_json job payload, then from_json
     * re-parse — the exact worker handshake (`worker-s2.ipynb` cell 2).

@@ -61,6 +61,9 @@ object Ann {
       lit(0L), (acc, v) => acc + v)
 
   /** Unpack a TopKAgg result column into (rank, neighbor_id, score) rows. */
+  private[ann] def explodeTopKPairs(df: DataFrame, scoreName: String): DataFrame =
+    explodeTopK(df, scoreName)
+
   private def explodeTopK(df: DataFrame, scoreName: String): DataFrame =
     df.select(col("probe_id"), posexplode(col("top")).as(Seq("i", "t")))
       .select(col("probe_id"), (col("i") + 1).cast("long").as("rank"),
@@ -154,55 +157,26 @@ object Ann {
   }
 
   /**
-   * IVF (inverted-file) ANN — the other scale path the training-data brief
-   * names: a k-means coarse quantizer (spark.ml, seeded) partitions the
-   * corpus into `nlist` cells; each probe searches only its `nprobe`
-   * nearest cells' posting lists (equi-join on cell id), exact cosine
-   * re-rank among candidates via [[TopKAgg]].
+   * IVF (inverted-file) ANN, inline form: a k-means coarse quantizer trained
+   * on a BOUNDED deterministic sample ([[IvfIndex.trainQuantizer]] — never
+   * the full corpus at query time) partitions the corpus into `nlist` cells;
+   * each probe searches only its `nprobe` nearest cells' posting lists
+   * (equi-join on cell id), exact cosine re-rank via [[TopKAgg]].
    *
-   * At 100 TB the posting lists are the partitioning key of the stored
-   * corpus (write-once `partitionBy(cell)`), so a probe touches
-   * nprobe/nlist of the data; here the assignment is computed inline.
+   * At 100 TB use the STORED form ([[IvfIndex.write]] / [[IvfIndex.probe]]):
+   * posting lists written once `partitionBy(cell)` with the centers, probes
+   * read only the pruned partitions. This inline form assigns cells on the
+   * fly (one corpus pass) for corpora that are not indexed yet; the two
+   * agree exactly (AnnSpec).
    */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val features = corpus
-      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      .cache() // KMeans iterates; avoid re-decoding parquet per iteration
-    val km = try new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(features)
-      finally features.unpersist()
-    val centers = km.clusterCenters.map(_.toArray)
-
-    // posting lists: corpus rows keyed by their cell
-    val assignUdf = udf { (e: Seq[Float]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centers.length) {
-        var d = 0.0; var i = 0
-        val ctr = centers(c)
-        while (i < e.length) { val t = e(i) - ctr(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    // probes fan out to their nprobe nearest cells
-    val probeCellsUdf = udf { (e: Seq[Float]) =>
-      centers.indices.map { c =>
-        var d = 0.0; var i = 0
-        val ctr = centers(c)
-        while (i < e.length) { val t = e(i) - ctr(i); d += t * t; i += 1 }
-        (d, c)
-      }.sortBy(_._1).take(nprobe).map(_._2)
-    }
-
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              maxTrain: Int = 100000): DataFrame = {
+    val centers = IvfIndex.trainQuantizer(corpus, nlist, seed, maxTrain)
     val posts = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-      .withColumn("cell", assignUdf(col("ce")))
+      .withColumn("cell", IvfIndex.assignUdf(centers)(col("ce")))
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      .withColumn("cell", explode(probeCellsUdf(col("pe")))))
+      .withColumn("cell", explode(IvfIndex.probeCellsUdf(centers, nprobe)(col("pe")))))
     val agg = udaf(new TopKAgg(k))
     explodeTopK(
       posts.join(p, Seq("cell"))

@@ -113,6 +113,16 @@ object Media {
   }
   def frameSampleUdf(n: Int) = udf((bytes: Array[Byte]) => frameSample(bytes, n))
 
+  /** S6's stated Spark read path, structurally real: media payload files on
+    * disk via the `binaryFile` source → the same decode/feature pipeline as
+    * [[decodeBandSpans]]. Each row is (path, modificationTime-free payload,
+    * meta, features); partitioning is per-file (narrow, no shuffle). */
+  def decodeBinaryFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content").as("payload"))
+      .withColumn("meta", decodeMetaUdf(col("payload")))
+      .withColumn("features", extractFeaturesUdf(col("payload")))
+
   /** DuckDB rendering of `java.lang.String.hashCode` of a varchar expression
     * (31-polynomial over UTF-16 units with int32 wraparound; exact for the
     * ASCII media_refs here) — lets the STUB payload header (width/height

@@ -53,6 +53,35 @@ class AnnSpec extends AnyFunSuite {
     assert(run() == approx, "IVF not deterministic under fixed seed")
   }
 
+  test("stored IVF layout: pruned probe ≡ inline ivfTopK; scan is partition-pruned") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val probes = embs.where($"vec_id" < 50)
+    IvfIndex.write(embs, path, nlist = 16, seed = 42L)
+    // posting lists physically partitioned by cell
+    val cellDirs = new java.io.File(s"$path/posts").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d+")))
+
+    val stored = IvfIndex.probe(spark, path, probes, k = 3, nprobe = 6)
+    val inline = Ann.ivfTopK(probes, embs, k = 3, dim = 64, nlist = 16, nprobe = 6)
+    assert(stored.select($"probe_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet ==
+      inline.select($"probe_id", $"rank", $"neighbor_id")
+        .as[(Long, Long, Long)].collect().toSet,
+      "stored-layout probe must return exactly the inline-assignment results")
+
+    // the probe's scan must carry a partition filter on cell (pruned read);
+    // sparkPlan, not executedPlan: AQE wraps the latter in an opaque node
+    val scans = stored.queryExecution.sparkPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("posts")) => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"posting-list scan is not partition-pruned: ${s.partitionFilters}")
+    }
+  }
+
   test("cosineNearDups finds exact duplicates with sim≈1") {
     val e = embs.select($"vec_id", $"embedding").limit(100)
     val dup = e.select(($"vec_id" + 1000).as("vec_id"), $"embedding")

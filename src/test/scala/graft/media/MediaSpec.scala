@@ -17,6 +17,28 @@ class MediaSpec extends AnyFunSuite {
     assert(m == Media.MediaMeta(20, 10, 3, 5 + 20 * 10 * 3))
   }
 
+  test("binaryFile source: payload files on disk flow through the decode pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_bin")
+    val refs = Seq("a_blue.tif", "b_nir.tif", "c_swir1.tif")
+    refs.foreach { r =>
+      val w = 16 + math.abs(r.hashCode % 17); val h = 16 + math.abs(r.hashCode % 13)
+      java.nio.file.Files.write(dir.resolve(r), Media.fakePayload(r, w, h, 3))
+    }
+    val got = Media.decodeBinaryFiles(spark, dir.toString)
+      .select(element_at(split($"path", "/"), -1).as("ref"),
+        $"meta.width", $"meta.height", $"meta.channels", $"features")
+      .as[(String, Int, Int, Int, Seq[Float])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == refs.toSet)
+    refs.foreach { r =>
+      val w = 16 + math.abs(r.hashCode % 17); val h = 16 + math.abs(r.hashCode % 13)
+      val (_, gw, gh, gc, feats) = got(r)
+      assert((gw, gh, gc) == (w, h, 3), s"header mismatch for $r")
+      assert(feats == Media.extractFeatures(Media.fakePayload(r, w, h, 3)).toSeq,
+        s"features differ for $r")
+    }
+  }
+
   test("frame sampling returns n row-slices of width*channels bytes") {
     val p = Media.fakePayload("ref", 32, 16, 3)
     val frames = Media.frameSample(p, 4)
