@@ -96,6 +96,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "dd_minhash" -> graft.dedup.Dedup.minhashOracleSql(mutatedCorpusSql),
     "dd_simhash" -> graft.dedup.Dedup.simhashOracleSql(mutatedCorpusSql),
+    "px_geomedian" -> ops.Composites.geomedianOracleSql(ops.Pixels.pixelsSql, iters = 32),
     "ml_fraccover" -> graft.ml.FracCover.oracleSql(
       ops.Pixels.pixelsSql, ops.CleanMask.s2Sql("scene_classification")),
     "media_decode" -> {
@@ -592,9 +593,12 @@ object PixelQueries {
       .select("py", "px", "best_ndvi", "blue", "nir", "red")
 
   /** Geomedian of (blue, nir, red) vectors per pixel — Weiszfeld Aggregator
-    * (A9); value parity vs the scalar oracle is in AggregatorSpec. */
+    * (A9). Driver query runs the FIXED-STEP parameterization (32 iterations,
+    * tol 0) whose arithmetic has an exact SQL twin, so the oracle checks it
+    * row-for-row; converged-form parity vs the scalar oracle (default 200 /
+    * 1e-9) stays in AggregatorSpec. */
   def geomedian(s: SparkSession, d: String): DataFrame = {
-    val agg = udaf(GeomedianAgg)
+    val agg = udaf(new GeomedianAggP(maxIter = 32, tol = 0.0))
     px(s, d).groupBy("py", "px")
       .agg(agg(array(col("blue").cast("double"), col("nir").cast("double"),
         col("red").cast("double"))).as("gm"))

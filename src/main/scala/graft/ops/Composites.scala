@@ -70,6 +70,65 @@ object Composites {
   /** OR-fold of boolean masks through time (A12). */
   def anyThroughTime(px: DataFrame, keys: Seq[String], mask: Column): DataFrame =
     px.groupBy(keys.map(col): _*).agg(max(mask.cast("int")).cast("boolean").as("any_mask"))
+
+  /**
+   * DuckDB twin of the fixed-step geomedian ([[GeomedianAggP]] with
+   * `tol = 0`): one chained CTE per Weiszfeld iteration, each mirroring
+   * GeomedianAgg.weiszfeld's arithmetic op for op — the 1/dist weights,
+   * the Vardi–Zhang coincident-point correction (r̃ = num − den·cur,
+   * ‖r̃‖ ≤ η ⇒ stay), and the den = 0 freeze. The start (per-band mean) is
+   * integer-sum exact; the only cross-engine leak is float summation order
+   * inside one aggregate, ~1e-13 relative, absorbed by the 6-dp rounding of
+   * the emitting query. */
+  def geomedianOracleSql(pixelsSql: String, iters: Int): String = {
+    def dist2(b: String, n: String, r: String, cb: String, cn: String, cr: String) =
+      s"((($b - $cb) * ($b - $cb) + ($n - $cn) * ($n - $cn)) + ($r - $cr) * ($r - $cr))"
+    def step(i: Int): String = {
+      val prev = if (i == 1) "it0" else s"it${i - 1}"
+      s"""ag$i AS (
+         |  SELECT c.py, c.px, c.cb, c.cn, c.cr,
+         |    sum(p.b * (1.0 / sqrt(${dist2("p.b", "p.n", "p.r", "c.cb", "c.cn", "c.cr")})))
+         |      FILTER (WHERE sqrt(${dist2("p.b", "p.n", "p.r", "c.cb", "c.cn", "c.cr")}) >= 1e-12) AS numb,
+         |    sum(p.n * (1.0 / sqrt(${dist2("p.b", "p.n", "p.r", "c.cb", "c.cn", "c.cr")})))
+         |      FILTER (WHERE sqrt(${dist2("p.b", "p.n", "p.r", "c.cb", "c.cn", "c.cr")}) >= 1e-12) AS numn,
+         |    sum(p.r * (1.0 / sqrt(${dist2("p.b", "p.n", "p.r", "c.cb", "c.cn", "c.cr")})))
+         |      FILTER (WHERE sqrt(${dist2("p.b", "p.n", "p.r", "c.cb", "c.cn", "c.cr")}) >= 1e-12) AS numr,
+         |    sum(1.0 / sqrt(${dist2("p.b", "p.n", "p.r", "c.cb", "c.cn", "c.cr")}))
+         |      FILTER (WHERE sqrt(${dist2("p.b", "p.n", "p.r", "c.cb", "c.cn", "c.cr")}) >= 1e-12) AS den,
+         |    count(*) FILTER (WHERE sqrt(${dist2("p.b", "p.n", "p.r", "c.cb", "c.cn", "c.cr")}) < 1e-12) AS eta
+         |  FROM $prev c JOIN pts p ON p.py = c.py AND p.px = c.px
+         |  GROUP BY c.py, c.px, c.cb, c.cn, c.cr),
+         |rn$i AS (
+         |  SELECT *, sqrt(((numb - den * cb) * (numb - den * cb)
+         |                  + (numn - den * cn) * (numn - den * cn))
+         |                 + (numr - den * cr) * (numr - den * cr)) AS rnorm
+         |  FROM ag$i),
+         |it$i AS MATERIALIZED (
+         |  SELECT py, px,
+         |    CASE WHEN den IS NULL THEN cb
+         |         WHEN eta > 0 AND rnorm <= eta THEN cb
+         |         WHEN eta > 0 THEN (1.0 - eta / rnorm) * (numb / den) + (eta / rnorm) * cb
+         |         ELSE numb / den END AS cb,
+         |    CASE WHEN den IS NULL THEN cn
+         |         WHEN eta > 0 AND rnorm <= eta THEN cn
+         |         WHEN eta > 0 THEN (1.0 - eta / rnorm) * (numn / den) + (eta / rnorm) * cn
+         |         ELSE numn / den END AS cn,
+         |    CASE WHEN den IS NULL THEN cr
+         |         WHEN eta > 0 AND rnorm <= eta THEN cr
+         |         WHEN eta > 0 THEN (1.0 - eta / rnorm) * (numr / den) + (eta / rnorm) * cr
+         |         ELSE numr / den END AS cr
+         |  FROM rn$i)""".stripMargin
+    }
+    s"""WITH px AS ($pixelsSql),
+       |pts AS MATERIALIZED (SELECT py, px, cast(blue AS double) AS b, cast(nir AS double) AS n,
+       |               cast(red AS double) AS r FROM px),
+       |it0 AS MATERIALIZED (SELECT py, px, sum(b) / count(*) AS cb, sum(n) / count(*) AS cn,
+       |               sum(r) / count(*) AS cr
+       |        FROM pts GROUP BY py, px),
+       |${(1 to iters).map(step).mkString(",\n")}
+       |SELECT py, px, round(cb, 6) AS gm_blue, round(cn, 6) AS gm_nir, round(cr, 6) AS gm_red
+       |FROM it$iters""".stripMargin
+  }
 }
 
 /**
@@ -114,6 +173,24 @@ object WofsStatsAgg extends Aggregator[Double, WofsStatsBuf, WofsSummary] {
  * `nangeomedian`). Custom typed Aggregator: buffers the per-pixel band
  * vectors (bounded by time-series depth), runs Weiszfeld at finish.
  */
+/** [[GeomedianAgg]] with explicit iteration control. `tol = 0` with a fixed
+  * `maxIter` gives a fixed-step Weiszfeld whose every arithmetic op has an
+  * ANSI-SQL twin ([[Composites.geomedianOracleSql]]) — the oracle-checkable
+  * parameterization. Converged fixed points freeze (a step from the optimum
+  * reproduces it), so extra iterations never drift. */
+class GeomedianAggP(maxIter: Int = 200, tol: Double = 1e-9)
+    extends Aggregator[Seq[Double], Seq[Seq[Double]], Seq[Double]] {
+  def zero: Seq[Seq[Double]] = Vector.empty
+  def reduce(b: Seq[Seq[Double]], v: Seq[Double]): Seq[Seq[Double]] =
+    if (v == null || v.exists(_ == -9999.0)) b else b :+ v.toVector
+  def merge(a: Seq[Seq[Double]], b: Seq[Seq[Double]]): Seq[Seq[Double]] = a ++ b
+  def finish(pts: Seq[Seq[Double]]): Seq[Double] = GeomedianAgg.weiszfeld(pts, maxIter, tol)
+  def bufferEncoder: Encoder[Seq[Seq[Double]]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Double]]]()
+  def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 object GeomedianAgg extends Aggregator[Seq[Double], Seq[Seq[Double]], Seq[Double]] {
   def zero: Seq[Seq[Double]] = Vector.empty
   def reduce(b: Seq[Seq[Double]], v: Seq[Double]): Seq[Seq[Double]] =
