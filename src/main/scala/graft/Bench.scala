@@ -214,8 +214,12 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
     val total = results.filter(_._3.isEmpty).map(_._2).sum
-    println(
-      f"""{"metric":"scenes_per_sec_tile_assign_4N","value":$rate4N%.1f,"unit":"scenes/sec","total_query_sec":$total%.2f,"failed_queries":$nFailed,"errors":$errsJson,"queries":$qs,"sf":"$sfDir","scaling":$scalingJson}""")
+    val jsonLine =
+      f"""{"metric":"scenes_per_sec_tile_assign_4N","value":$rate4N%.1f,"unit":"scenes/sec","total_query_sec":$total%.2f,"failed_queries":$nFailed,"errors":$errsJson,"queries":$qs,"sf":"$sfDir","scaling":$scalingJson}"""
+    println(jsonLine)
+    // sbt prefixes stdout with "[info] ", which broke the round-1 driver's
+    // json parse (BENCH_r01.json parsed:null) — persist the raw line too
+    Files.writeString(Paths.get("BENCH_LINE.json"), jsonLine + "\n")
 
     val qmd = results.map {
       case (k, v, None) => f"| $k | $v%.3f |"

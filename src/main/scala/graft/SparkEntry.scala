@@ -97,6 +97,14 @@ object SparkEntry {
     "dd_minhash" -> graft.dedup.Dedup.minhashOracleSql(mutatedCorpusSql),
     "dd_simhash" -> graft.dedup.Dedup.simhashOracleSql(mutatedCorpusSql),
     "px_geomedian" -> ops.Composites.geomedianOracleSql(ops.Pixels.pixelsSql, iters = 32),
+    "ann_lsh" -> graft.ann.Ann.lshOracleSql(
+      "SELECT vec_id, embedding FROM embeddings", "vec_id < 100",
+      k = 3, dim = 64, tables = 16, bits = 8),
+    "ann_neardup" -> graft.ann.Ann.nearDupOracleSql(
+      """SELECT vec_id, embedding FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings""".stripMargin,
+      dim = 64, threshold = 0.999, tables = 8, bits = 10),
     "ml_fraccover" -> graft.ml.FracCover.oracleSql(
       ops.Pixels.pixelsSql, ops.CleanMask.s2Sql("scene_classification")),
     "media_decode" -> {

@@ -125,6 +125,92 @@ object Ann {
     })
   }
 
+  // ---------------- DuckDB oracle renderings ----------------
+  //
+  // The LSH family is deterministic given the seed: hyperplanes come from a
+  // seeded Gaussian stream, bucket keys are sign bits of plane·embedding
+  // dots, and the re-rank is plain float arithmetic. Emitting the plane
+  // constants as literals and folding every dot LEFT-ASSOCIATIVELY (the
+  // exact accumulation order of the Scala loops and of Spark's `aggregate`)
+  // makes the whole operator — candidate generation AND ranking — bit-exact
+  // in DuckDB.
+
+  /** Left-assoc SQL fold matching `s = 0.0; s += term(i)` — identical op
+    * order ⇒ identical IEEE doubles. */
+  private def foldSql(terms: Seq[String]): String =
+    terms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
+
+  /** SQL for [[cosine]] of two float-array columns: ordered dot fold over
+    * per-element double casts, divided by the product of ordered-norm sqrts
+    * — op-for-op the Column form. */
+  def cosineSql(a: String, b: String, dim: Int): String = {
+    val dot = foldSql((1 to dim).map(i => s"cast($a[$i] AS double) * cast($b[$i] AS double)"))
+    val na = s"sqrt(${foldSql((1 to dim).map(i => s"cast($a[$i] AS double) * cast($a[$i] AS double)"))})"
+    val nb = s"sqrt(${foldSql((1 to dim).map(i => s"cast($b[$i] AS double) * cast($b[$i] AS double)"))})"
+    s"($dot / ($na * $nb))"
+  }
+
+  /** Per-table LSH bucket-key SQL over embedding column `e` — the seeded
+    * hyperplanes of [[lshBucketUdf]] emitted as literals; sign rule `>= 0`
+    * and bit weights identical. */
+  def lshKeySqls(dim: Int, tables: Int, bits: Int, seed: Long, e: String): Seq[String] = {
+    val planes = hyperplanes(dim, tables, bits, seed)
+    (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val dot = foldSql((0 until dim).map(i =>
+          s"(${planes(t)(b)(i)}) * cast($e[${i + 1}] AS double)"))
+        s"CASE WHEN $dot >= 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    }
+  }
+
+  /** DuckDB twin of [[lshTopK]]: `corpusSql` yields (vec_id, embedding);
+    * probes are the rows satisfying `probePred`. */
+  def lshOracleSql(corpusSql: String, probePred: String, k: Int, dim: Int,
+                   tables: Int, bits: Int, seed: Long = 42L): String = {
+    val keys = lshKeySqls(dim, tables, bits, seed, "embedding")
+      .zipWithIndex.map { case (kk, t) => s"$kk AS k$t" }.mkString(",\n       ")
+    val ks = (0 until tables).map(t => s"k$t").mkString("[", ", ", "]")
+    s"""WITH e AS MATERIALIZED ($corpusSql),
+       |keys AS MATERIALIZED (SELECT vec_id,
+       |       $keys
+       |       FROM e),
+       |kt AS (SELECT vec_id, t, $ks[cast(t AS int) + 1] AS bk
+       |       FROM keys CROSS JOIN range(0, $tables) AS u(t)),
+       |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+       |         FROM kt p JOIN kt c ON p.t = c.t AND p.bk = c.bk
+       |         WHERE ${probePred.replace("vec_id", "p.vec_id")} AND p.vec_id <> c.vec_id),
+       |sims AS (SELECT cd.probe_id, cd.neighbor_id,
+       |                ${cosineSql("pe.embedding", "ce.embedding", dim)} AS sim
+       |         FROM cand cd JOIN e pe ON pe.vec_id = cd.probe_id
+       |                      JOIN e ce ON ce.vec_id = cd.neighbor_id)
+       |SELECT probe_id, cast(rank AS bigint) AS rank, neighbor_id, sim FROM (
+       |  SELECT probe_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims) WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB twin of [[cosineNearDups]]. */
+  def nearDupOracleSql(corpusSql: String, dim: Int, threshold: Double,
+                       tables: Int, bits: Int, seed: Long = 42L): String = {
+    val keys = lshKeySqls(dim, tables, bits, seed, "embedding")
+      .zipWithIndex.map { case (kk, t) => s"$kk AS k$t" }.mkString(",\n       ")
+    val ks = (0 until tables).map(t => s"k$t").mkString("[", ", ", "]")
+    s"""WITH e AS MATERIALIZED ($corpusSql),
+       |keys AS MATERIALIZED (SELECT vec_id,
+       |       $keys
+       |       FROM e),
+       |kt AS (SELECT vec_id, t, $ks[cast(t AS int) + 1] AS bk
+       |       FROM keys CROSS JOIN range(0, $tables) AS u(t)),
+       |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+       |         FROM kt l JOIN kt r ON l.t = r.t AND l.bk = r.bk AND l.vec_id < r.vec_id),
+       |sims AS (SELECT c.id_a, c.id_b,
+       |                ${cosineSql("a.embedding", "b.embedding", dim)} AS sim
+       |         FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b)
+       |SELECT id_a, id_b, sim FROM sims WHERE sim >= $threshold""".stripMargin
+  }
+
   /**
    * Approximate top-k: candidates share an LSH bucket in ≥1 of `tables`
    * hash tables; exact cosine re-rank on candidates. Recall measured in

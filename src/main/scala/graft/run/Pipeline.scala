@@ -46,10 +46,15 @@ object Pipeline {
       inventory.select(col("doc_id").as("__d"), col("tile_id").as("__t")),
       col("doc_id") === col("__d") && col("tile_id") === col("__t"), "left_anti")
 
-    // stage 3: job docs — spans serialized verbatim, deterministic order
+    // stage 3: job docs — spans serialized verbatim, deterministic order.
+    // repartitionByRange + sortWithinPartitions, NOT a global orderBy: the
+    // files are byte-stable either way (range boundaries + local sort fix
+    // every row's position), but the global sort's final merge pass is
+    // skipped — at 100 TB that pass is the emission bottleneck.
     remaining
       .select(col("doc_id"), col("tile_id"),
         to_json(struct(col("doc_id"), col("tile_id"), col("spans"))).as("job_json"))
-      .orderBy("doc_id", "tile_id")
+      .repartitionByRange(col("doc_id"), col("tile_id"))
+      .sortWithinPartitions("doc_id", "tile_id")
   }
 }

@@ -78,6 +78,24 @@ object Plans {
       "no exchange except the probe-side spread; top-k computed per row against the broadcast tree",
       capture(graft.ops.Knn.nearestTiles(pts, tiles, k = 3))))
 
+    // minhash-LSH candidate generation: band exchanges must be text-free
+    val docsTbl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 200)
+    sections += (("minhash-LSH near-dups (candidate join)",
+      "band-keyed exchanges carry (id, band, slice) only — no text column; " +
+        "texts re-join by id after the ids-only pair dedup (DedupSpec locks this)",
+      capture(graft.dedup.Dedup.minhashNearDups(docsTbl, "doc_id", "text"))))
+
+    // stored IVF probe: partition-pruned posting-list read
+    val embsTbl = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_plans_ivf").toString
+    graft.ann.IvfIndex.write(embsTbl, ivfDir, nlist = 16)
+    sections += (("stored-IVF probe (partition-pruned posting lists)",
+      "PartitionFilters: cell IN (probe cells) at the posts scan — a probe reads " +
+        "nprobe/nlist of the corpus; quantizer trained on a bounded sample, read from disk",
+      capture(graft.ann.IvfIndex.probe(spark, ivfDir,
+        embsTbl.where(col("vec_id") < 20), k = 3, nprobe = 4))))
+
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.tools.Plans)\n\n")
     sections.foreach { case (title, why, plan) =>
