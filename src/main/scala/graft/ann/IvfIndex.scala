@@ -23,22 +23,64 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Deterministic bounded training sample → k-means centers.
-    * One pass over the corpus (hash-ordered take), then iterations run on
-    * ≤ maxTrain rows only. */
+    * ONE pass over the corpus (hash-ordered take of ≤ maxTrain rows), then
+    * Lloyd iterations run driver-local over the collected sample — the
+    * FAISS posture: quantizer training is an in-memory problem once the
+    * sample is bounded (100k × 64 dims ≈ 50 MB), and a local loop avoids
+    * per-iteration distributed job overhead entirely. */
   def trainQuantizer(corpus: DataFrame, nlist: Int, seed: Long,
                      maxTrain: Int = 100000): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val sample = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000)), col("vec_id"))
       .limit(maxTrain)
-    val features = sample
-      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      .cache() // bounded by maxTrain; k-means iterates over it
-    val km = try new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(features)
-      finally features.unpersist()
-    km.clusterCenters.map(_.toArray)
+      .select(col("embedding").cast("array<double>"))
+      .collect()
+      .map(_.getAs[Seq[Double]](0).toArray)
+    kmeansLocal(sample, nlist, iters = 10, seed = seed)
+  }
+
+  /** Seeded Lloyd k-means: distinct-sample-point init, fixed iterations,
+    * nearest-center ties to the lower index, empty clusters keep their old
+    * center — fully deterministic for a given sample order. */
+  private[ann] def kmeansLocal(samples: Array[Array[Double]], k: Int,
+                               iters: Int, seed: Long): Array[Array[Double]] = {
+    require(samples.nonEmpty, "empty training sample")
+    val dim = samples(0).length
+    val rnd = new java.util.Random(seed)
+    val init = scala.collection.mutable.LinkedHashSet.empty[Int]
+    while (init.size < math.min(k, samples.length)) init += rnd.nextInt(samples.length)
+    var centers = init.toArray.map(samples(_).clone())
+
+    def nearest(s: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        var d = 0.0; var i = 0
+        val ctr = centers(c)
+        while (i < dim) { val t = s(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](centers.length, dim)
+      val counts = new Array[Long](centers.length)
+      samples.foreach { s =>
+        val c = nearest(s)
+        var i = 0
+        while (i < dim) { sums(c)(i) += s(i); i += 1 }
+        counts(c) += 1
+      }
+      centers = Array.tabulate(centers.length) { c =>
+        if (counts(c) == 0) centers(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+      it += 1
+    }
+    centers
   }
 
   /** Nearest-center cell id of an embedding (squared-L2, ties to the lower
