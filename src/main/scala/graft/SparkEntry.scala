@@ -53,6 +53,7 @@ object SparkEntry {
     "dd_minhash" -> ((s, d) => TrainQueries.ddMinhash(s, d)),
     "dd_simhash" -> ((s, d) => TrainQueries.ddSimhash(s, d)),
     "dd_jaccard" -> ((s, d) => TrainQueries.ddJaccard(s, d)),
+    "dd_cluster" -> ((s, d) => TrainQueries.ddCluster(s, d)),
     "txt_quality" -> ((s, d) => TrainQueries.txtQuality(s, d)),
     "txt_lang" -> ((s, d) => TrainQueries.txtLang(s, d)),
     "txt_fingerprint" -> ((s, d) => TrainQueries.txtFingerprint(s, d)),
@@ -95,6 +96,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dd_minhash" -> graft.dedup.Dedup.minhashOracleSql(mutatedCorpusSql),
+    "dd_cluster" -> graft.dedup.Dedup.componentsOracleSql(
+      graft.dedup.Dedup.minhashOracleSql(mutatedCorpusSql)),
     "dd_simhash" -> graft.dedup.Dedup.simhashOracleSql(mutatedCorpusSql),
     "px_geomedian" -> ops.Composites.geomedianOracleSql(ops.Pixels.pixelsSql, iters = 32),
     "ann_lsh" -> graft.ann.Ann.lshOracleSql(
@@ -697,6 +700,13 @@ object TrainQueries {
     val (ni, nu) = Dedup.wordJaccardParts(col("text"), col("text_b"))
     joined.select(col("doc_id"), ni.cast("long").as("n_inter"), nu.cast("long").as("n_union"))
   }
+
+  /** Near-dup clustering: connected components over the MinHash pair set —
+    * the canonical-doc selection step (keep min-id doc per component). */
+  def ddCluster(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.minhashNearDups(mutatedCorpus(s, d), "doc_id", "text",
+        threshold = 0.5).select(col("id_a"), col("id_b")))
 
   def txtQuality(s: SparkSession, d: String): DataFrame = {
     val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }

@@ -245,6 +245,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---------------- near-dup clustering ----------------
+
+  /**
+   * Connected components over a near-duplicate pair set — the
+   * canonicalization step of a dedup pipeline: every doc gets the MIN doc id
+   * reachable through dup edges as its component id; keep one doc per
+   * component, drop the rest.
+   *
+   * Hash-min label propagation: each round, every vertex takes the min of
+   * its own label and its neighbors' labels (one join + one groupBy per
+   * round). Rounds needed = component diameter — near-dup clusters are
+   * star-like (diameter ≤ ~3), so this converges in a handful of rounds at
+   * any corpus size; convergence is CHECKED (changed-count == 0), not
+   * assumed, and the label table is labels-only (two longs) through every
+   * exchange.
+   *
+   * Returns (id, component).
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // localCheckpoint per round CUTS LINEAGE — without it the iterated plan
+    // doubles every round (labels referenced twice) and explodes
+    // exponentially; with it each round plans against materialized blocks.
+    // (At production scale, swap for a reliable checkpoint dir.)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // neighbor-min candidate per vertex, then min with own label
+      val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** DuckDB twin of [[connectedComponents]]: transitive min-label closure
+    * via a recursive CTE over `pairsSql` (a SELECT yielding id_a, id_b). */
+  def componentsOracleSql(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+       |SELECT id, min(lbl) AS component FROM walk GROUP BY id""".stripMargin
+
   // ---------------- SimHash ----------------
 
   /** SimHash near-dup candidates: split the 64-bit signature into `chunks`

@@ -113,6 +113,32 @@ object Media {
   }
   def frameSampleUdf(n: Int) = udf((bytes: Array[Byte]) => frameSample(bytes, n))
 
+  /**
+   * S8/S9's structural sink twin: write one payload file per (doc, band)
+   * under `dir/<doc_id>/<band>.tif` — the reference's per-band COG emission
+   * loop (`utils/prep_utils.py:413-491` writes `<scene>/<band>.tif`), with
+   * the pixel codec stubbed like the read side. Executes distributed
+   * (mapPartitions, one file per row, no shuffle); returns the manifest
+   * (doc_id, band, path, n_bytes) for downstream lineage. Local-FS here; a
+   * production impl swaps the Files.write for an object-store client, the
+   * layout and manifest contract stay identical.
+   */
+  def writeBandFiles(rows: DataFrame, dir: String): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id").cast("string"), col("band"), col("payload"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (doc, band, payload) =>
+          val p = java.nio.file.Paths.get(dir, doc)
+          java.nio.file.Files.createDirectories(p)
+          val f = p.resolve(s"$band.tif")
+          java.nio.file.Files.write(f, payload)
+          (doc, band, f.toString, payload.length.toLong)
+        }
+      }.toDF("doc_id", "band", "path", "n_bytes")
+  }
+
   /** S6's stated Spark read path, structurally real: media payload files on
     * disk via the `binaryFile` source → the same decode/feature pipeline as
     * [[decodeBandSpans]]. Each row is (path, modificationTime-free payload,

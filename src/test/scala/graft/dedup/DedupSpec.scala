@@ -81,6 +81,26 @@ class DedupSpec extends AnyFunSuite {
     assert(twins.exists { case (a, b, h) => h == 0 && (b == 999999L || a == 999999L) })
   }
 
+  test("connectedComponents ≡ union-find on seeded random pair sets") {
+    val rnd = new scala.util.Random(11L)
+    val pairs = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // scalar oracle: union-find with min-id canonical labels
+    val parent = scala.collection.mutable.Map((0L until 50L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val vertices = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = vertices.map(v => (v, find(v))).toSet
+
+    val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("exact + normalized dedup semantics") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"), (4L, "x y z"))
       .toDF("doc_id", "text")

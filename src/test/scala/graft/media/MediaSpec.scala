@@ -17,6 +17,26 @@ class MediaSpec extends AnyFunSuite {
     assert(m == Media.MediaMeta(20, 10, 3, 5 + 20 * 10 * 3))
   }
 
+  test("band-file sink: per-(doc, band) files + manifest, byte-identical on read-back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_sink").toString
+    val rows = Seq(("S2A_1", "blue"), ("S2A_1", "nir"), ("LC08_2", "swir1")).map {
+      case (doc, band) => (doc, band, Media.fakePayload(s"${doc}_$band", 8, 6, 3))
+    }
+    val manifest = Media.writeBandFiles(rows.toDF("doc_id", "band", "payload"), dir)
+      .as[(String, String, String, Long)].collect()
+    assert(manifest.length == 3)
+    manifest.foreach { case (doc, band, path, n) =>
+      assert(path.endsWith(s"$doc/$band.tif"), s"layout: $path") // the COG sink layout
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      assert(n == bytes.length)
+      assert(bytes.sameElements(Media.fakePayload(s"${doc}_$band", 8, 6, 3)))
+    }
+    // read-back through the binaryFile source closes the loop
+    val back = Media.decodeBinaryFiles(spark, s"$dir/*")
+    assert(back.count() == 3)
+    assert(back.select($"meta.width").as[Int].collect().forall(_ == 8))
+  }
+
   test("binaryFile source: payload files on disk flow through the decode pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_bin")
     val refs = Seq("a_blue.tif", "b_nir.tif", "c_swir1.tif")
