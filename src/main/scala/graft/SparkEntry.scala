@@ -46,6 +46,7 @@ object SparkEntry {
     // value-level correctness lives in AggregatorSpec / MLWaterSpec / NnlsSpec
     "px_geomedian" -> ((s, d) => PixelQueries.geomedian(s, d)),
     "ml_water" -> ((s, d) => MLQueries.water(s, d)),
+    "ml_labels" -> ((s, d) => MLQueries.waterLabels(s, d)),
     "ml_fraccover" -> ((s, d) => MLQueries.fracCover(s, d)),
     // --- training-data pipeline: dedup / text / ANN / media ---
     "dd_exact" -> ((s, d) => TrainQueries.ddExact(s, d)),
@@ -108,6 +109,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings""".stripMargin,
       dim = 64, threshold = 0.999, tables = 8, bits = 10),
+    "ml_labels" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT CASE WHEN (CASE WHEN nir < swir1 THEN 80.0 ELSE 10.0 END) >= 50.0
+         |            THEN 1.0 ELSE 0.0 END AS label,
+         |       count(*) AS n_train
+         |FROM px
+         |WHERE pixel_qa <> 1 AND scene_classification <> 0
+         |GROUP BY 1""".stripMargin,
     "ml_fraccover" -> graft.ml.FracCover.oracleSql(
       ops.Pixels.pixelsSql, ops.CleanMask.s2Sql("scene_classification")),
     "media_decode" -> {
@@ -772,6 +781,21 @@ object MLQueries {
       col("valid_img"), col("valid_lab"), MLWater.Params(minPerClass = 200L))
     MLWater.predict(model, px, Seq("green", "nir", "swir1"), col("valid_img"),
       keys = Seq("l_orderkey", "l_linenumber"))
+  }
+
+  /** The deterministic half of the ML-water pipeline, oracle-checked: the
+    * persistence label rule (pc >= 50 -> 1.0, `genprepMLWater.py:286-289`),
+    * the inner valid mask (`:281-283`), and the per-class training counts
+    * that feed the >= minPerClass guard (`:299-302`). Only the RF fit/predict
+    * (spark.ml internals) stays rows-only, in ml_water. */
+  def waterLabels(s: SparkSession, d: String): DataFrame = {
+    val px = Pixels.pixels(s, d)
+      .withColumn("pc", when(col("nir") < col("swir1"), 80.0).otherwise(10.0))
+      .withColumn("valid_img", col("pixel_qa") =!= 1)
+      .withColumn("valid_lab", col("scene_classification") =!= 0)
+    px.where(col("valid_img") && col("valid_lab"))
+      .withColumn("label", MLWater.waterLabel(col("pc")))
+      .groupBy("label").agg(count(lit(1)).as("n_train"))
   }
 
   def fracCover(s: SparkSession, d: String): DataFrame =
