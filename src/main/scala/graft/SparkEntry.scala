@@ -63,6 +63,7 @@ object SparkEntry {
     "ann_neardup" -> ((s, d) => TrainQueries.annNearDup(s, d)),
     "ann_ivf" -> ((s, d) => TrainQueries.annIvf(s, d)),
     "media_decode" -> ((s, d) => TrainQueries.mediaDecode(s, d)),
+    "media_validate" -> ((s, d) => TrainQueries.mediaValidate(s, d)),
     // --- relational plane (SURVEY §2.2-2.7) ---
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
     "q2_join" -> ((s, d) => Relational.q2(s, d)),
@@ -83,6 +84,7 @@ object SparkEntry {
     "q17_inventory" -> ((s, d) => Relational.q17(s, d)),
     "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
+    "q20_sources" -> ((s, d) => Relational.q20(s, d)),
     "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d)),
     "px_rasterize" -> ((s, d) => PixelQueries.rasterize(s, d)),
     "px_reassemble" -> ((s, d) => PixelQueries.reassemble(s, d))
@@ -470,6 +472,27 @@ object SparkEntry {
          |SELECT tile_id, n_scenes,
          |       row_number() OVER (ORDER BY n_scenes DESC, tile_id) AS priority
          |FROM counts""".stripMargin,
+    "q20_sources" ->
+      """WITH esa AS (SELECT o_orderkey AS scene,
+        |                    cast(floor(o_totalprice) AS bigint) AS esa_size FROM orders),
+        |gc AS (SELECT o_orderkey AS scene,
+        |              cast(floor(o_totalprice * 2) AS bigint) AS gc_size
+        |       FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT e.scene AS scene, gc.scene IS NOT NULL AS gcloud_pres,
+        |       coalesce(gc.gc_size, e.esa_size) AS "size"
+        |FROM esa e LEFT JOIN gc ON gc.scene = e.scene""".stripMargin,
+    "media_validate" -> {
+      val bands = graft.model.Bands.byPlatform("SENTINEL_2")
+        .map(b => s"('$b')").mkString(", ")
+      s"""WITH ids AS (SELECT o_orderkey AS doc_id FROM orders WHERE o_orderkey % 30 = 0),
+         |sp(band) AS (VALUES $bands)
+         |SELECT cast(doc_id AS varchar) AS doc_id, band,
+         |       cast(doc_id % 3 AS int) = 0 AS ok,
+         |       CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'ok'
+         |            WHEN 1 THEN 'truncated_header'
+         |            ELSE 'body_length_mismatch' END AS reason
+         |FROM ids CROSS JOIN sp""".stripMargin
+    },
     "px_rasterize" ->
       s"""WITH px AS (${ops.Pixels.pixelsSql})
          |SELECT l_orderkey, l_linenumber, py, px,
@@ -761,6 +784,32 @@ object TrainQueries {
         col("meta.width"), col("meta.height"), col("meta.channels"),
         size(col("features")).as("n_features"))
   }
+
+  /** Payload validation over a deterministically-corrupted media stream —
+    * the engine twin of `cog_validate` (`prep_utils.py:637-790`):
+    * doc_id % 3 picks intact / truncated-header / body-length-mismatch. */
+  def mediaValidate(s: SparkSession, d: String): DataFrame = {
+    val scenes = graft.model.SynthCorpus.scenesFromOrders(s, d)
+      .withColumn("platform", lit("SENTINEL_2"))
+      .where(col("doc_id") % 30 === 0)
+    val bands = graft.model.SynthCorpus.withSpansColumn(scenes)
+      .select(col("doc_id").cast("string").as("doc_id"), explode(col("spans")).as("sp"))
+      .where(col("sp.kind") === "band")
+      .select(col("doc_id"), col("sp.text").as("band"), col("sp.media_ref").as("media_ref"))
+    val corrupt = udf { (b: Array[Byte], mode: Int) =>
+      mode match {
+        case 1 => b.take(4)      // header cut short
+        case 2 => b.dropRight(1) // header fine, body short
+        case _ => b
+      }
+    }
+    bands
+      .withColumn("payload", graft.media.Media.fakePayloadUdf(col("media_ref")))
+      .withColumn("mode", (col("doc_id").cast("long") % 3).cast("int"))
+      .withColumn("v", graft.media.Media.validatePayloadUdf(
+        corrupt(col("payload"), col("mode"))))
+      .select(col("doc_id"), col("band"), col("v._1").as("ok"), col("v._2").as("reason"))
+  }
 }
 
 /** ML-plane queries: RF water classifier + fractional-cover unmixing
@@ -980,6 +1029,20 @@ object Relational {
       .agg(count(lit(1)).as("n_scenes"))
     counts.withColumn("priority",
       row_number().over(Window.orderBy(col("n_scenes").desc, col("tile_id"))).cast("long"))
+  }
+
+  /** Multi-source fallback (cells 29-31: GCLOUD_PRES flag + size from the
+    * Google index when present, ESA otherwise): left join + coalesce — the
+    * declarative form of the reference's per-row try-gcloud-else-esa. */
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val esa = t(s, d, "orders").select(col("o_orderkey").as("scene"),
+      floor(col("o_totalprice")).cast("long").as("esa_size"))
+    val gcloud = t(s, d, "orders").where(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").as("scene"),
+        floor(col("o_totalprice") * 2).cast("long").as("gc_size"))
+    esa.join(gcloud, Seq("scene"), "left")
+      .select(col("scene"), col("gc_size").isNotNull.as("gcloud_pres"),
+        coalesce(col("gc_size"), col("esa_size")).as("size"))
   }
 
   /** Job-doc sink semantics (S11): to_json job payload, then from_json

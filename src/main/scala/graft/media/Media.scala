@@ -161,6 +161,23 @@ object Media {
        |    (acc, c) -> $wrap32)""".stripMargin
   }
 
+  /** Structural payload validation — the engine twin of the reference's
+    * `cog_validate` output checks (`utils/prep_utils.py:637-790`: tile
+    * layout / overview / header sanity of produced COGs): header bounds and
+    * header-vs-body length consistency of our payload format. Returns
+    * (ok, reason). */
+  def validatePayload(b: Array[Byte]): (Boolean, String) =
+    if (b == null || b.length < 5) (false, "truncated_header")
+    else {
+      val w = ((b(0) & 0xFF) << 8) | (b(1) & 0xFF)
+      val h = ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
+      val ch = b(4) & 0xFF
+      if (w <= 0 || h <= 0 || ch <= 0) (false, "bad_dims")
+      else if (b.length != 5 + w * h * ch) (false, "body_length_mismatch")
+      else (true, "ok")
+    }
+  val validatePayloadUdf = udf(validatePayload _)
+
   /**
    * Full pipeline over an interleaved-doc table: resolve band spans to media
    * payloads, decode metadata, extract features. At scale the payload column
