@@ -273,24 +273,29 @@ object Ann {
       "sim")
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets + threshold. */
+  /** Embedding-cosine near-duplicate pairs via LSH buckets + threshold.
+    * Same shuffle discipline as the MinHash candidate join: the bucket
+    * self-join carries (t, bk, id) ONLY — never the embeddings (which would
+    * otherwise cross the exchange ×tables on both sides); candidate pairs
+    * dedup ids-only, then embeddings hash-join back BY ID (once per side)
+    * for the exact-cosine verify. At a high threshold the surviving
+    * candidate set is dup-sized, so the ids-only exchange is tiny. */
   def cosineNearDups(df: DataFrame, dim: Int, threshold: Double,
                      tables: Int = 8, bits: Int = 10, seed: Long = 42L): DataFrame = {
-    val bu = lshBucketUdf(dim, tables, bits, seed)
     val e = df.select(col("vec_id"), col("embedding"))
-      .withColumn("bks", bu(col("embedding")))
-      .select(col("vec_id"), col("embedding"), posexplode(col("bks")).as(Seq("t", "bk")))
-    val l = e.select(col("t"), col("bk"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val r = e.select(col("t"), col("bk"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    l.join(r, Seq("t", "bk"))
+    val bu = lshBucketUdf(dim, tables, bits, seed)
+    val bucketed = e.withColumn("bks", bu(col("embedding")))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bk")))
+    val l = bucketed.select(col("t"), col("bk"), col("vec_id").as("id_a"))
+    val r = bucketed.select(col("t"), col("bk"), col("vec_id").as("id_b"))
+    val cand = l.join(r, Seq("t", "bk"))
       .where(col("id_a") < col("id_b"))
-      // map-side sim + threshold BEFORE the dedup shuffle: candidate pairs
-      // failing the threshold never leave the task, and surviving pairs
-      // shuffle 16 bytes + a double instead of two embeddings
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__nt")).drop("__nt")
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
       .withColumn("sim", cosine(col("ea"), col("eb")))
       .where(col("sim") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("sim")).as("sim"))
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

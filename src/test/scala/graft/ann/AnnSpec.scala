@@ -85,10 +85,20 @@ class AnnSpec extends AnyFunSuite {
   test("cosineNearDups finds exact duplicates with sim≈1") {
     val e = embs.select($"vec_id", $"embedding").limit(100)
     val dup = e.select(($"vec_id" + 1000).as("vec_id"), $"embedding")
-    val pairs = Ann.cosineNearDups(e.unionByName(dup), dim = 64, threshold = 0.999)
-      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val nd = Ann.cosineNearDups(e.unionByName(dup), dim = 64, threshold = 0.999)
+    val pairs = nd.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     // every (i, i+1000) twin must be found: identical vectors always share all buckets
     (0L until 100L).foreach { i => assert(pairs.contains((i, i + 1000)), s"missing twin $i") }
+
+    // bucket/pair-keyed exchanges must never carry an embedding column
+    nd.queryExecution.executedPlan.collect {
+      case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        (ex.outputPartitioning.toString, ex.output.map(_.name))
+    }.foreach { case (part, out) =>
+      if (part.contains("bk") || (part.contains("id_a") && part.contains("id_b")))
+        assert(!out.exists(n => n == "ea" || n == "eb" || n == "embedding"),
+          s"embedding rides a candidate exchange: $part -> $out")
+    }
   }
 
   test("quantized dot ranking ≈ cosine ranking on real embeddings (top-1 agreement)") {
