@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -326,9 +325,12 @@ object Dedup {
     val r = chunked.select(col("ci"), col("cv"), col("id").as("id_b"), col("sh").as("sh_b"))
     val ham = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
     l.join(r, Seq("ci", "cv"))
+      // hamming computed + thresholded MAP-SIDE; cross-chunk dedup is a
+      // groupBy carrying (id_a, id_b, hamming) only — partial-aggregated
+      // before the exchange, unlike a window which ships every dup row
       .where(col("id_a") < col("id_b") && ham <= maxHamming)
-      .withColumn("first_ci", min(col("ci")).over(Window.partitionBy(col("id_a"), col("id_b"))))
-      .where(col("ci") === col("first_ci"))
       .select(col("id_a"), col("id_b"), ham.as("hamming"))
+      .groupBy("id_a", "id_b")
+      .agg(min(col("hamming")).as("hamming")) // identical per pair; min = deterministic pick
   }
 }
