@@ -96,11 +96,30 @@ object IcebergLite {
   def writeData(df: DataFrame, table: String, commitId: String): Unit =
     df.write.mode("overwrite").parquet(Paths.get(table, "data", commitId).toString)
 
+  /**
+   * Compaction (Iceberg's `rewrite_data_files`): read the current snapshot,
+   * rewrite it as ONE fresh commit, and swap in a snapshot that references
+   * ONLY the compacted files. Old files stay on disk — historical snapshots
+   * still time-travel ([[readAt]]) — but the live read path stops paying
+   * per-file open cost for the accumulated incremental commits. At 100 TB
+   * the small-files problem is a metadata-health problem: a table fed by
+   * per-stage appends grows O(commits × partitions) files without this.
+   */
+  def compact(spark: SparkSession, table: String, statsCols: Seq[String],
+              commitId: String): Snapshot = {
+    val cur = read(spark, table) // snapshot-pinned file list: safe self-read
+    writeData(cur, table, commitId)
+    commitWritten(spark, cur.schema.json, table, statsCols, commitId, keepPrev = false)
+  }
+
   /** Phase 2 of [[append]]: stat the files written by [[writeData]] and swap
     * the snapshot pointer. Split out so a caller can inspect the write's
-    * observed metrics (e.g. rows-in) before deciding to commit. */
+    * observed metrics (e.g. rows-in) before deciding to commit.
+    * `keepPrev = false` makes the new snapshot reference only this commit's
+    * files (a replacing commit — compaction / overwrite semantics). */
   def commitWritten(spark: SparkSession, schemaJson: String, table: String,
-                    statsCols: Seq[String], commitId: String): Snapshot = {
+                    statsCols: Seq[String], commitId: String,
+                    keepPrev: Boolean = true): Snapshot = {
     val dataDir = Paths.get(table, "data", commitId)
     // one-pass per-file stats
     val statAggs = statsCols.flatMap(c =>
@@ -116,7 +135,7 @@ object IcebergLite {
     }.toSeq.sortBy(_.path)
 
     val parent = currentSnapshotId(table).getOrElse(-1L)
-    val prevFiles = readSnapshot(table).map(_.files).getOrElse(Nil)
+    val prevFiles = if (keepPrev) readSnapshot(table).map(_.files).getOrElse(Nil) else Nil
     val snap = Snapshot(parent + 1, parent, schemaJson, prevFiles ++ entries)
 
     Files.createDirectories(metaDir(table))

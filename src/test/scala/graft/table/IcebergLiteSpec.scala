@@ -53,6 +53,32 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(rows == 51)
   }
 
+  test("compact: live snapshot references only rewritten files; history time-travels") {
+    val t = tmpTable()
+    (0 until 6).foreach { c =>
+      IcebergLite.append(spark,
+        (c * 10 until (c + 1) * 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+          .repartition(3), t, Seq("k"), s"c$c")
+    }
+    val before = IcebergLite.readSnapshot(t).get
+    assert(before.files.size == 18, s"expected 6 commits x 3 files, got ${before.files.size}")
+
+    val compacted = IcebergLite.compact(spark, t, Seq("k"), "compact1")
+    assert(compacted.files.size < before.files.size,
+      s"compaction must shrink the file list: ${compacted.files.size}")
+    assert(compacted.files.forall(_.path.contains("compact1")),
+      "live snapshot must reference only the rewritten files")
+    // content identical
+    assert(IcebergLite.read(spark, t).select(sum($"k")).as[Long].head() == (0 until 60).sum)
+    assert(IcebergLite.read(spark, t).count() == 60)
+    // pre-compaction snapshots still readable (old files untouched)
+    assert(IcebergLite.readAt(spark, t, before.id).count() == 60)
+    assert(IcebergLite.readAt(spark, t, 0).count() == 10)
+    // min/max stats recomputed for the compacted files: pruning still works
+    val pruned = IcebergLite.selectedFiles(t, Map("k" -> (0.0, 1.0)))
+    assert(pruned.size <= compacted.files.size)
+  }
+
   test("uncommitted data (no pointer swap) is invisible — crash atomicity") {
     val t = tmpTable()
     IcebergLite.append(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), "c1")
