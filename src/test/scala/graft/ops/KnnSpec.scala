@@ -32,6 +32,29 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast-disabled session: guard routes to the shuffled path, same results") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 80).map { i =>
+      (s"d$i", rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 180 - 90)
+    }
+    val df = pts.toDF("doc_id", "lon", "lat")
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.select($"doc_id", $"rank".cast("int"), $"tile_id").as[(String, Int, String)]
+        .collect().toSet
+    val withBroadcast = norm(Knn.nearestTiles(df, tiles, k = 3))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val disabled = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val r = Knn.nearestTiles(df, tiles, k = 3)
+      // the shuffled path ranks via a window — its plan has one; the
+      // broadcast-STRtree path is a single generator projection and does not
+      assert(r.queryExecution.sparkPlan.toString.contains("Window"),
+        "guard did not route to the shuffled path")
+      norm(r)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(disabled == withBroadcast)
+  }
+
   test("shuffled cell-ring fallback ≡ broadcast STRtree path") {
     val rnd = new scala.util.Random(123)
     val pts = (0 until 150).map { i =>
