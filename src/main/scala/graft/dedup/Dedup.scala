@@ -49,17 +49,25 @@ object Dedup {
     out.distinct
   }
 
-  /** MinHash signature with k universal-hash permutations h_i(x)=a_i*x+b_i
-    * (seeded, fixed across the job — deterministic). */
-  def minhash(text: String, q: Int, k: Int, seed: Long): Array[Long] = {
-    val sh = shingles(text, q)
-    val sig = Array.fill(k)(Long.MaxValue)
-    if (sh.isEmpty) return sig
+  /** The k universal-hash permutation constants (a_i odd, b_i), drawn from
+    * one seeded stream — the SAME stream [[minhashOracleSql]] renders as
+    * SQL literals. */
+  def minhashPerms(k: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new java.util.Random(seed)
+    Array.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signature with k universal-hash permutations h_i(x)=a_i*x+b_i. */
+  def minhash(text: String, q: Int, k: Int, seed: Long): Array[Long] =
+    minhashWithPerms(text, q, minhashPerms(k, seed))
+
+  private def minhashWithPerms(text: String, q: Int, perms: Array[(Long, Long)]): Array[Long] = {
+    val sh = shingles(text, q)
+    val sig = Array.fill(perms.length)(Long.MaxValue)
+    if (sh.isEmpty) return sig
     var i = 0
-    while (i < k) {
-      val a = rnd.nextLong() | 1L
-      val b = rnd.nextLong()
+    while (i < perms.length) {
+      val (a, b) = perms(i)
       var m = Long.MaxValue
       var j = 0
       while (j < sh.length) {
@@ -73,8 +81,12 @@ object Dedup {
     sig
   }
 
-  def minhashUdf(q: Int, k: Int, seed: Long) =
-    udf((text: String) => minhash(text, q, k, seed))
+  /** Permutation constants hoisted into the closure — built once per task
+    * deserialization, not per row. */
+  def minhashUdf(q: Int, k: Int, seed: Long) = {
+    val perms = minhashPerms(k, seed)
+    udf((text: String) => minhashWithPerms(text, q, perms))
+  }
 
   /** Exact q-gram Jaccard (verify stage; also a standalone near-dup op). */
   def jaccard(a: String, b: String, q: Int): Double = {
@@ -161,9 +173,7 @@ object Dedup {
                        rowsPerBand: Int = 4, threshold: Double = 0.5,
                        seed: Long = 42L): String = {
     val k = bands * rowsPerBand
-    val rnd = new java.util.Random(seed)
-    val perms = Array.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
-    val permValues = perms.zipWithIndex.map { case ((a, b), i) =>
+    val permValues = minhashPerms(k, seed).zipWithIndex.map { case ((a, b), i) =>
       s"($i, ($a)::hugeint, ($b)::hugeint)"
     }.mkString(",\n    ")
     // FNV-1a over the q characters of each shingle, one CTE per step
