@@ -85,6 +85,7 @@ object SparkEntry {
     "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
+    "q21_csvscan" -> ((s, d) => Relational.q21(s, d)),
     "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d)),
     "px_rasterize" -> ((s, d) => PixelQueries.rasterize(s, d)),
     "px_reassemble" -> ((s, d) => PixelQueries.reassemble(s, d))
@@ -481,6 +482,14 @@ object SparkEntry {
         |SELECT e.scene AS scene, gc.scene IS NOT NULL AS gcloud_pres,
         |       coalesce(gc.gc_size, e.esa_size) AS "size"
         |FROM esa e LEFT JOIN gc ON gc.scene = e.scene""".stripMargin,
+    "q21_csvscan" ->
+      """SELECT concat('S2A_MSIL1C_T',
+        |              lpad(cast(o_orderkey % 24 AS varchar), 2, '0'),
+        |              lpad(cast(o_orderkey % 18 AS varchar), 2, '0'),
+        |              '_', lpad(cast(o_orderkey AS varchar), 10, '0')) AS product_id,
+        |       cast(o_orderkey % 100 AS int) AS cloud_cover,
+        |       cast(floor(o_totalprice) AS bigint) AS total_size
+        |FROM orders WHERE o_orderkey % 100 < 20""".stripMargin,
     "media_validate" -> {
       val bands = graft.model.Bands.byPlatform("SENTINEL_2")
         .map(b => s"('$b')").mkString(", ")
@@ -1043,6 +1052,31 @@ object Relational {
     esa.join(gcloud, Seq("scene"), "left")
       .select(col("scene"), col("gc_size").isNotNull.as("gcloud_pres"),
         coalesce(col("gc_size"), col("esa_size")).as("size"))
+  }
+
+  /** CSV.gz catalog scan (S2: the GCloud index / USGS bulk-metadata CSVs,
+    * cells 20/65/74 — read with header + declared schema, filtered
+    * immediately, the reference's "takes too long" hand-optimization that
+    * predicate pushdown makes free). The catalog file is synthesized
+    * deterministically from orders, written gzipped once, then read through
+    * the REAL `spark.read.csv` path. */
+  def q21(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_catalog_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val catalog = t(s, d, "orders").select(
+      concat(lit("S2A_MSIL1C_T"),
+        lpad((col("o_orderkey") % 24).cast("string"), 2, "0"),
+        lpad((col("o_orderkey") % 18).cast("string"), 2, "0"),
+        lit("_"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("PRODUCT_ID"),
+      (col("o_orderkey") % 100).cast("int").as("CLOUD_COVER"),
+      floor(col("o_totalprice")).cast("long").as("TOTAL_SIZE"))
+    catalog.coalesce(1).write.mode("overwrite")
+      .option("header", true).option("compression", "gzip").csv(dir)
+    s.read.option("header", true)
+      .schema("PRODUCT_ID STRING, CLOUD_COVER INT, TOTAL_SIZE LONG")
+      .csv(dir)
+      .where(col("CLOUD_COVER") < 20) // pushed into the CSV scan
+      .select(col("PRODUCT_ID").as("product_id"), col("CLOUD_COVER").as("cloud_cover"),
+        col("TOTAL_SIZE").as("total_size"))
   }
 
   /** Job-doc sink semantics (S11): to_json job payload, then from_json
