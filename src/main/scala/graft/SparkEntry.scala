@@ -58,6 +58,7 @@ object SparkEntry {
     "txt_quality" -> ((s, d) => TrainQueries.txtQuality(s, d)),
     "txt_lang" -> ((s, d) => TrainQueries.txtLang(s, d)),
     "txt_fingerprint" -> ((s, d) => TrainQueries.txtFingerprint(s, d)),
+    "txt_tokens" -> ((s, d) => TrainQueries.txtTokens(s, d)),
     "ann_topk" -> ((s, d) => TrainQueries.annTopK(s, d)),
     "ann_lsh" -> ((s, d) => TrainQueries.annLsh(s, d)),
     "ann_neardup" -> ((s, d) => TrainQueries.annNearDup(s, d)),
@@ -316,6 +317,11 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp FROM documents""",
+    "txt_tokens" ->
+      s"""SELECT doc_id,
+         |       ${graft.text.TextOps.tokenCountSql("text")} AS n_ws_tokens,
+         |       ${graft.text.TextOps.bpeTokenCountSql("text")} AS n_bpe_tokens
+         |FROM documents""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id,
         |           list_transform(embedding, x -> floor(cast(x AS double) * 1024)) AS qe
@@ -759,6 +765,12 @@ object TrainQueries {
 
   def txtFingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+
+  /** Token budgets: whitespace count vs BPE-ish pre-tokenizer count. */
+  def txtTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+      TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
   def annTopK(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)

@@ -29,6 +29,22 @@ object TextOps {
   def wordHitsSql(c: String, w: String): String =
     s"cast(len(list_filter(string_split($c, ' '), t -> t = '$w')) AS bigint)"
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 family), RE2-safe subset:
+    * contractions, optionally-space-prefixed letter runs / digit runs /
+    * punctuation runs. No lookahead, ASCII classes only — Java regex and
+    * DuckDB's RE2 produce identical leftmost-first matches, so the count is
+    * cross-engine exact. */
+  val BpePattern: String =
+    "('s|'t|'re|'ve|'m|'ll|'d)|( ?[a-zA-Z]+)|( ?[0-9]+)|( ?[^a-zA-Z0-9 ]+)"
+
+  /** Subword-ish token count: number of BPE pre-tokenizer matches — the
+    * training-data "token budget" estimator (whitespace tokens undercount
+    * punctuation-heavy and numeric text). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+  def bpeTokenCountSql(c: String): String =
+    s"cast(len(regexp_extract_all($c, '${BpePattern.replace("'", "''")}')) AS bigint)"
+
   /** Per-language stopword lists for the language-ID heuristic. */
   val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),

@@ -99,6 +99,11 @@ class DedupSpec extends AnyFunSuite {
     val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toSet
     assert(got == expected)
+    // determinism under partitioning: the iterative min-label propagation
+    // must land on the same fixpoint for any physical layout
+    val got2 = Dedup.connectedComponents(pairs.toDF("id_a", "id_b").repartition(7))
+      .as[(Long, Long)].collect().toSet
+    assert(got2 == expected)
   }
 
   test("exact + normalized dedup semantics") {
