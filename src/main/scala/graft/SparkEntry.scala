@@ -87,6 +87,7 @@ object SparkEntry {
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
     "q21_csvscan" -> ((s, d) => Relational.q21(s, d)),
+    "q22_jsonscan" -> ((s, d) => Relational.q22(s, d)),
     "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d)),
     "px_rasterize" -> ((s, d) => PixelQueries.rasterize(s, d)),
     "px_reassemble" -> ((s, d) => PixelQueries.reassemble(s, d))
@@ -496,6 +497,13 @@ object SparkEntry {
         |       cast(o_orderkey % 100 AS int) AS cloud_cover,
         |       cast(floor(o_totalprice) AS bigint) AS total_size
         |FROM orders WHERE o_orderkey % 100 < 20""".stripMargin,
+    "q22_jsonscan" ->
+      """SELECT concat('MCD43A4.A2019', lpad(cast(o_orderkey % 365 + 1 AS varchar), 3, '0'),
+        |              '.h', lpad(cast(o_orderkey % 24 AS varchar), 2, '0'),
+        |              'v', lpad(cast(o_orderkey % 18 AS varchar), 2, '0')) AS name,
+        |       cast(o_orderkey % 365 + 1 AS int) AS day,
+        |       cast(floor(o_totalprice) AS bigint) AS bytes
+        |FROM orders WHERE o_orderkey % 365 + 1 <= 31""".stripMargin,
     "media_validate" -> {
       val bands = graft.model.Bands.byPlatform("SENTINEL_2")
         .map(b => s"('$b')").mkString(", ")
@@ -1089,6 +1097,25 @@ object Relational {
       .where(col("CLOUD_COVER") < 20) // pushed into the CSV scan
       .select(col("PRODUCT_ID").as("product_id"), col("CLOUD_COVER").as("cloud_cover"),
         col("TOTAL_SIZE").as("total_size"))
+  }
+
+  /** JSON catalog scan (S4's structural Spark mapping: the LAADS per-day
+    * JSON responses, cells 166/188 — `spark.read.format("json")` with a
+    * declared schema over line-delimited documents, nested field access +
+    * filter). The catalog is synthesized deterministically, written as
+    * json.gz once, then read through the REAL json source. */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_catalog_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    t(s, d, "orders").select(to_json(struct(
+      concat(lit("MCD43A4.A2019"), lpad((col("o_orderkey") % 365 + 1).cast("string"), 3, "0"),
+        lit(".h"), lpad((col("o_orderkey") % 24).cast("string"), 2, "0"),
+        lit("v"), lpad((col("o_orderkey") % 18).cast("string"), 2, "0")).as("name"),
+      struct((col("o_orderkey") % 365 + 1).cast("int").as("day"),
+        floor(col("o_totalprice")).cast("long").as("bytes")).as("meta"))).as("value"))
+      .coalesce(1).write.mode("overwrite").option("compression", "gzip").text(dir)
+    s.read.schema("name STRING, meta STRUCT<day: INT, bytes: LONG>").json(dir)
+      .where(col("meta.day") <= 31) // January acquisitions only
+      .select(col("name"), col("meta.day").as("day"), col("meta.bytes").as("bytes"))
   }
 
   /** Job-doc sink semantics (S11): to_json job payload, then from_json
