@@ -88,6 +88,7 @@ object SparkEntry {
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
     "q21_csvscan" -> ((s, d) => Relational.q21(s, d)),
     "q22_jsonscan" -> ((s, d) => Relational.q22(s, d)),
+    "q23_asof" -> ((s, d) => Relational.q23(s, d)),
     "px_bitmask" -> ((s, d) => PixelQueries.bitmask(s, d)),
     "px_rasterize" -> ((s, d) => PixelQueries.rasterize(s, d)),
     "px_reassemble" -> ((s, d) => PixelQueries.reassemble(s, d))
@@ -504,6 +505,14 @@ object SparkEntry {
         |       cast(o_orderkey % 365 + 1 AS int) AS day,
         |       cast(floor(o_totalprice) AS bigint) AS bytes
         |FROM orders WHERE o_orderkey % 365 + 1 <= 31""".stripMargin,
+    "q23_asof" ->
+      """WITH clicks AS (SELECT event_id AS probe_id, user_id, ts FROM events
+        |                WHERE event_type = 'click'),
+        |views AS (SELECT event_id AS b_id, user_id, ts, value AS b_value FROM events
+        |          WHERE event_type = 'view')
+        |SELECT c.probe_id, c.user_id, v.b_id, v.b_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
     "media_validate" -> {
       val bands = graft.model.Bands.byPlatform("SENTINEL_2")
         .map(b => s"('$b')").mkString(", ")
@@ -1116,6 +1125,22 @@ object Relational {
     s.read.schema("name STRING, meta STRUCT<day: INT, bytes: LONG>").json(dir)
       .where(col("meta.day") <= 31) // January acquisitions only
       .select(col("name"), col("meta.day").as("day"), col("meta.bytes").as("bytes"))
+  }
+
+  /** As-of join (J9, beyond parity): each click event picks up the user's
+    * latest prior (or simultaneous) view event — union + single-sort window,
+    * never a per-key theta-join explosion. Oracle: DuckDB's native
+    * ASOF LEFT JOIN. */
+  def q23(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("probe_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("b_id"), col("value").as("b_value"))
+    graft.ops.AsOf.join(clicks, views, key = "user_id", ts = "ts",
+      probeCols = Seq("probe_id"), buildCols = Seq("b_id", "b_value"))
+      .select(col("probe_id"), col("user_id"),
+        col("asof_b_id").as("b_id"), col("asof_b_value").as("b_value"))
   }
 
   /** Job-doc sink semantics (S11): to_json job payload, then from_json
