@@ -100,6 +100,7 @@ object Bench {
       // 0.92 efficiency. Details + both pairs in BENCH.md.
       val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8")
         .split(",").map(_.trim.toInt).toSeq
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
       // INTERLEAVED measurement: warm each level once, then alternate
       // N,4N,N,4N,… so turbo/thermal and page-cache states are symmetric
       // between the levels instead of favoring whichever ran second.
@@ -108,7 +109,7 @@ object Bench {
         val s = session(c); timed { rows = tileAssignJob(s, corpus) }; s.stop()
       }
       val wallsByLevel = scala.collection.mutable.Map(levels.map(_ -> Vector.empty[Double]): _*)
-      (1 to 3).foreach { _ =>
+      (1 to reps).foreach { _ =>
         levels.foreach { c =>
           val s = session(c)
           wallsByLevel(c) :+= timed { rows = tileAssignJob(s, corpus) }
@@ -140,11 +141,19 @@ object Bench {
       val rateN = nDocs / wallN
       rate4N = nDocs / wall4N
       val eff = (rate4N / rateN) / (c4N.toDouble / cN)
+      // variance band: per-interleaved-round paired efficiency (round i's N
+      // wall vs round i's 4N wall) — states the run-to-run spread instead of
+      // a bare point estimate (single-host DRAM bandwidth noise is real)
+      val effPerRound = wallsByLevel(cN).zip(wallsByLevel(c4N)).map {
+        case (wn, w4) => (wn / w4) / (c4N.toDouble / cN)
+      }
+      val (effLo, effHi) = (effPerRound.min, effPerRound.max)
       scalingJson =
         f"""{"docs":$nDocs,"assign_rows":$rows,"cpus_n":$cN,"cpus_4n":$c4N,""" +
           f""""wall_n_s":$wallN%.3f,"wall_4n_s":$wall4N%.3f,""" +
           f""""scenes_per_sec_n":$rateN%.1f,"scenes_per_sec_4n":$rate4N%.1f,""" +
           f""""scaling_efficiency":$eff%.3f,""" +
+          f""""scaling_efficiency_min":$effLo%.3f,"scaling_efficiency_max":$effHi%.3f,"reps":$reps,""" +
           f""""skew_shuffled_salted_wall_s":$skewWall%.3f,"skew_shuffled_salted_scenes_per_sec":$skewRate%.1f}"""
       scalingMd =
         f"""## Flagship scaling (measured, median of 3, warmup discarded)
@@ -158,6 +167,11 @@ object Bench {
            || 4N | local[$c4N] | $nDocs | $rows | $wall4N%.3f | $rate4N%.1f |
            |
            |**scaling efficiency = (rate_4N / rate_N) / 4 = $eff%.3f** (target ≥ 0.8)
+           |
+           |Variance band over $reps interleaved rounds (paired per-round
+           |efficiency; medians above): **[$effLo%.3f, $effHi%.3f]**.
+           |Walls N = ${wallsByLevel(cN).map(w => f"$w%.2f").mkString(", ")} s;
+           |walls 4N = ${wallsByLevel(c4N).map(w => f"$w%.2f").mkString(", ")} s.
            |
            |Skew machinery (same join, shuffled path + explicit ×8 salting on
            |the AM-hotspot corpus, local[${levels.last}]): wall $skewWall%.3f s,
@@ -193,16 +207,26 @@ object Bench {
 
     // ---- phase 2: per-query timings on the driver tables ----
     val spark = session(cpus)
+    // materialize through the noop sink, not count(): count() lets Catalyst
+    // prune every projection it doesn't need, so select-shaped queries would
+    // be timed as bare scans — the noop write keeps all output columns in
+    // the executed plan while still writing no bytes
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // discarded session warmup: JVM/codegen/parquet-reader init otherwise
     // lands entirely on whichever query sorts first alphabetically
-    // (measured: +7 s on ann_ivf's cold rep vs 1.9 s warm)
+    // (measured: +7 s on ann_ivf's cold rep vs 1.9 s warm). q21/q22 run once
+    // here so their one-time /tmp catalog fixtures are generated OUTSIDE the
+    // timed loop (their timed runs are then pure reads).
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
+    materialize(SparkEntry.queries("q21_csvscan")(spark, sfDir))
+    materialize(SparkEntry.queries("q22_jsonscan")(spark, sfDir))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a crashing query must FAIL the bench visibly (null timing + an entry
       // in "errors"), never masquerade as a fast wall time
-      val err = try { fn(spark, sfDir).count(); None }
+      val err = try { materialize(fn(spark, sfDir)); None }
         catch { case e: Throwable => Some(e.toString.replaceAll("\\s+", " ").take(300)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }

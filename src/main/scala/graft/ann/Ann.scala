@@ -211,6 +211,48 @@ object Ann {
        |SELECT id_a, id_b, sim FROM sims WHERE sim >= $threshold""".stripMargin
   }
 
+  /** DuckDB twin of [[ivfTopK]]: the trained quantizer centers (themselves
+    * deterministic — hash-ordered bounded sample + seeded driver-local
+    * Lloyd) emitted as literals; cell assignment = argmin over the
+    * left-assoc squared-L2 folds (ties → lower cell, exactly
+    * [[IvfIndex.assignUdf]]); probe cells = the `nprobe` nearest
+    * (ties → lower cell, exactly [[IvfIndex.probeCellsUdf]]); candidates
+    * from the pruned cells; exact [[cosineSql]] re-rank. */
+  def ivfOracleSql(corpusSql: String, probePred: String, k: Int, dim: Int,
+                   centers: Array[Array[Double]], nprobe: Int): String = {
+    val n = centers.length
+    val dists = centers.zipWithIndex.map { case (ctr, c) =>
+      val fold = foldSql((0 until dim).map { i =>
+        val t = s"(cast(embedding[${i + 1}] AS double) - (${ctr(i)}))"
+        s"($t * $t)"
+      })
+      s"$fold AS d$c"
+    }.mkString(",\n       ")
+    val dcase = (0 until n).map(c => s"WHEN $c THEN d$c").mkString("CASE cell ", " ", " END")
+    s"""WITH e AS MATERIALIZED ($corpusSql),
+       |dist0 AS MATERIALIZED (SELECT vec_id,
+       |       $dists
+       |       FROM e),
+       |dist AS (SELECT vec_id, cell, $dcase AS d
+       |         FROM dist0 CROSS JOIN range(0, $n) AS u(cell)),
+       |rk AS (SELECT vec_id, cell,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |       FROM dist),
+       |assign AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+       |pcells AS (SELECT vec_id, cell FROM rk WHERE rn <= $nprobe AND ($probePred)),
+       |cand AS (SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id
+       |         FROM pcells p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id),
+       |sims AS (SELECT cd.probe_id, cd.neighbor_id,
+       |                ${cosineSql("pe.embedding", "ce.embedding", dim)} AS sim
+       |         FROM cand cd JOIN e pe ON pe.vec_id = cd.probe_id
+       |                      JOIN e ce ON ce.vec_id = cd.neighbor_id)
+       |SELECT probe_id, cast(rank AS bigint) AS rank, neighbor_id, sim FROM (
+       |  SELECT probe_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sims) WHERE rank <= $k""".stripMargin
+  }
+
   /**
    * Approximate top-k: candidates share an LSH bucket in ≥1 of `tables`
    * hash tables; exact cosine re-rank on candidates. Recall measured in

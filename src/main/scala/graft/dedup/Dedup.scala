@@ -129,11 +129,20 @@ object Dedup {
   }
 
   /** Candidate (id_a, id_b) pairs sharing ≥1 identical signature band —
-    * text-free by construction. */
+    * text-free by construction.
+    *
+    * Docs with NO q-shingles (null text or length < q) are excluded up
+    * front: they would all share the identical all-MaxValue signature and
+    * the band self-join would form an O(m²) clique of every short doc —
+    * quadratic on real corpora, where empty docs are common. Semantics
+    * (shared with [[minhashOracleSql]], which drops shingle-less docs by
+    * construction, and with [[bruteForceNearDups]]): a doc with no shingles
+    * has no defined q-gram similarity and is never a near-dup candidate. */
   private[dedup] def minhashCandidates(ids: DataFrame, q: Int, bands: Int,
                                        rowsPerBand: Int, seed: Long): DataFrame = {
     val k = bands * rowsPerBand
     val banded = ids
+      .where(col("text").isNotNull && length(col("text")) >= q) // ⇔ shingles non-empty
       .select(col("id"), minhashUdf(q, k, seed)(col("text")).as("sig"))
       .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("id"), col("band"),
@@ -243,11 +252,13 @@ object Dedup {
     (size(array_intersect(wa, wb)), size(array_union(wa, wb)))
   }
 
-  /** Brute-force q-gram Jaccard near-dups — O(N²) oracle for tests. */
+  /** Brute-force q-gram Jaccard near-dups — O(N²) oracle for tests. Same
+    * shingle-less-doc exclusion as [[minhashCandidates]]. */
   def bruteForceNearDups(df: DataFrame, idCol: String, textCol: String,
                          q: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
-    val b = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    val eligible = df.where(col(textCol).isNotNull && length(col(textCol)) >= q)
+    val a = eligible.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val b = eligible.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .withColumn("jaccard", jaccardUdf(q)(col("text_a"), col("text_b")))
       .where(col("jaccard") >= threshold)
@@ -289,14 +300,18 @@ object Dedup {
       val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nbr_min"))
+      // the changed-count rides the propagation job itself via Observation —
+      // ONE Spark job per round (the eager localCheckpoint is the action),
+      // not propagate + a separate join-and-count scan
+      val obs = new org.apache.spark.sql.Observation(s"graft_cc_$it")
       val next = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .observe(obs, sum(when(col("component") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
+        .select(col("id"), col("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).count()
       labels = next
-      converged = changed == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0
       it += 1
     }
     edges.unpersist()

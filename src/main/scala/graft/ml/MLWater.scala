@@ -2,8 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -20,9 +19,17 @@ import org.apache.spark.sql.functions._
  *  - outputs: water_mask ∈ {0, 1}, water_prob = P(water)·100 as int,
  *    −9999 outside the image valid mask (`:329-358`)
  *
- * Scale posture: training samples for one scene fit comfortably per task;
- * spark.ml's RF trains distributed over the pixel table, and prediction is a
- * narrow map — no driver-side collect of pixels.
+ * Prediction is NOT `model.transform`: the trained forest is extracted
+ * (via the model's own persisted format — public, stable) and rendered as
+ * pure Column algebra reproducing `predictRaw` + probability-normalize +
+ * argmax arithmetic op for op. That buys three things at once:
+ *  - whole-stage codegen on the hot path (no ScalaUDF, no Vector boxing);
+ *  - no task-serialized model closure — spark.ml's transform UDF captures
+ *    the model, whose trainingSummary drags the whole SparkSession (and its
+ *    non-serializable ObservationManager once any `Dataset.observe` ran in
+ *    the session) into the task binary;
+ *  - the SAME rendering emits an ANSI-SQL twin, so the trained model's
+ *    predictions are DuckDB-oracle-checkable bit for bit.
  */
 object MLWater {
 
@@ -34,6 +41,13 @@ object MLWater {
       seed: Long = 42L)
 
   val Nodata: Int = -9999
+
+  /** One decision node: `left == -1` marks a leaf carrying the per-class
+    * impurity counts (c0, c1); internal nodes route on
+    * `feature <= threshold` (spark.ml ContinuousSplit.shouldGoLeft). */
+  final case class RfNode(feature: Int, threshold: Double,
+                          left: Int, right: Int, c0: Double, c1: Double)
+  type RfTree = Map[Int, RfNode]
 
   /** Reference `:286-289`: persistence ≥ thresh → 1.0 else 0.0 (NULL-safe). */
   def waterLabel(pc: Column, thresh: Double = 50.0): Column =
@@ -71,19 +85,106 @@ object MLWater {
     } finally labeled.unpersist()
   }
 
+  /** Extract the forest as plain data via the model's persisted form
+    * (`model.write` → `data/` parquet of (treeID, nodeData)) — the public,
+    * version-stable route to per-leaf class counts; no private tree API.
+    * Trees are returned in `treeID` order, the order `predictRaw` visits. */
+  def extractTrees(spark: SparkSession, model: RandomForestClassificationModel): Seq[RfTree] = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rf_export").toString
+    model.write.overwrite().save(tmp)
+    val rows = spark.read.parquet(s"$tmp/data")
+      .select(col("treeID"), col("nodeData.id"), col("nodeData.impurityStats"),
+        col("nodeData.leftChild"), col("nodeData.rightChild"),
+        col("nodeData.split.featureIndex"),
+        col("nodeData.split.leftCategoriesOrThreshold"))
+      .collect()
+    val trees = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, ns) =>
+      ns.map { r =>
+        val stats = r.getAs[scala.collection.Seq[Double]](2)
+        val thr = r.getAs[scala.collection.Seq[Double]](6)
+        r.getInt(1) -> RfNode(r.getInt(5), if (thr.nonEmpty) thr.head else 0.0,
+          r.getInt(3), r.getInt(4), stats(0), stats(1))
+      }.toMap
+    }
+    // tidy the export (tiny, but tests train many models)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally walk.close()
+    trees
+  }
+
+  /** Per-tree vote term for class `cls` — `predictRaw`'s
+    * `classCounts(cls) / classCounts.sum`, the leaf constant precomputed
+    * with the identical double arithmetic, routed by nested conditionals. */
+  private def classTerm(tree: RfTree, id: Int, feats: Seq[Column], cls: Int): Column = {
+    val n = tree(id)
+    if (n.left == -1) {
+      val total = (0.0 + n.c0) + n.c1 // Array[Double].sum fold order
+      lit((if (cls == 0) n.c0 else n.c1) / total)
+    } else when(feats(n.feature) <= lit(n.threshold), classTerm(tree, n.left, feats, cls))
+      .otherwise(classTerm(tree, n.right, feats, cls))
+  }
+
+  /** Σ over trees of the class vote — `votes(cls) += term` in tree order. */
+  private def votes(trees: Seq[RfTree], feats: Seq[Column], cls: Int): Column =
+    trees.foldLeft(lit(0.0))((acc, t) => acc + classTerm(t, 0, feats, cls))
+
   /** Predict over the image-valid rows; invalid rows → −9999 on both
-    * outputs (reference `:329-358`). Keeps `keys` passthrough columns. */
-  def predict(model: RandomForestClassificationModel, px: DataFrame,
-              bands: Seq[String], validImg: Column, keys: Seq[String]): DataFrame = {
-    val assembled = new VectorAssembler()
-      .setInputCols(bands.toArray).setOutputCol("features")
-      .setHandleInvalid("keep")
-      .transform(px.withColumn("__valid", validImg))
-    val scored = model.transform(assembled)
-    val probOf1 = udf((v: Vector) => (v(1) * 100).toInt)
-    scored.select(
+    * outputs (reference `:329-358`). Keeps `keys` passthrough columns.
+    * water_mask = argmax(probability) (ties → class 0, Vector.argmax);
+    * water_prob = ⌊P(water)·100⌋ as int — exactly model.transform's
+    * outputs (MLWaterSpec proves bit-parity vs predictProbability). */
+  def predictFromTrees(trees: Seq[RfTree], px: DataFrame, bands: Seq[String],
+                       validImg: Column, keys: Seq[String]): DataFrame = {
+    val feats = bands.map(b => col(b).cast("double"))
+    val v0 = votes(trees, feats, 0)
+    val v1 = votes(trees, feats, 1)
+    val prob1 = v1 / (v0 + v1) // normalizeToProbabilitiesInPlace
+    px.withColumn("__valid", validImg).select(
       keys.map(col) :+
-        when(col("__valid"), col("prediction").cast("int")).otherwise(Nodata).as("water_mask") :+
-        when(col("__valid"), probOf1(col("probability"))).otherwise(Nodata).as("water_prob"): _*)
+        when(col("__valid"), when(v1 > v0, 1).otherwise(0)).otherwise(Nodata).as("water_mask") :+
+        when(col("__valid"), (prob1 * 100).cast("int")).otherwise(Nodata).as("water_prob"): _*)
+  }
+
+  /** [[predictFromTrees]] with extraction folded in (one-shot callers). */
+  def predict(model: RandomForestClassificationModel, px: DataFrame,
+              bands: Seq[String], validImg: Column, keys: Seq[String]): DataFrame =
+    predictFromTrees(extractTrees(px.sparkSession, model), px, bands, validImg, keys)
+
+  // ---------------- DuckDB oracle rendering ----------------
+
+  private def classTermSql(tree: RfTree, id: Int, feats: Seq[String], cls: Int): String = {
+    val n = tree(id)
+    if (n.left == -1) {
+      val total = (0.0 + n.c0) + n.c1
+      ((if (cls == 0) n.c0 else n.c1) / total).toString
+    } else
+      s"CASE WHEN ${feats(n.feature)} <= ${n.threshold} " +
+        s"THEN ${classTermSql(tree, n.left, feats, cls)} " +
+        s"ELSE ${classTermSql(tree, n.right, feats, cls)} END"
+  }
+
+  private def votesSql(trees: Seq[RfTree], feats: Seq[String], cls: Int): String =
+    trees.foldLeft("0.0")((acc, t) => s"($acc + ${classTermSql(t, 0, feats, cls)})")
+
+  /** ANSI-SQL twin of [[predictFromTrees]] over `pixelsSql`: tree CASE
+    * cascades with the identical leaf literals, the identical left-assoc
+    * vote folds, majority vote, truncated percent — bit-exact vs the
+    * engine because every double op matches in value and order. */
+  def oracleSql(trees: Seq[RfTree], pixelsSql: String, validSql: String,
+                bands: Seq[String], keys: Seq[String]): String = {
+    val feats = bands.map(b => s"cast($b AS double)")
+    val ks = keys.mkString(", ")
+    s"""WITH px AS ($pixelsSql),
+       |t AS (SELECT $ks, ($validSql) AS valid,
+       |  ${votesSql(trees, feats, 0)} AS v0,
+       |  ${votesSql(trees, feats, 1)} AS v1
+       |  FROM px)
+       |SELECT $ks,
+       |  CASE WHEN valid THEN (CASE WHEN v1 > v0 THEN 1 ELSE 0 END) ELSE -9999 END AS water_mask,
+       |  CASE WHEN valid THEN cast(trunc((v1 / (v0 + v1)) * 100) AS int) ELSE -9999 END AS water_prob
+       |FROM t""".stripMargin
   }
 }

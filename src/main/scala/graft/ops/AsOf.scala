@@ -39,10 +39,15 @@ object AsOf {
     val order = col(ts).asc +: col("__build").desc +: buildCols.map(col(_).asc_nulls_first)
     val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = buildCols.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    // ONE struct is carried, not one last() per column: per-column carries
+    // with ignoreNulls would mix attributes from DIFFERENT build rows when a
+    // build attribute is null (the probe must see the single matched row,
+    // nulls included — ASOF semantics). The struct is null on probe rows
+    // (so ignoreNulls skips them) and non-null on every build row.
+    val buildStruct = when(col("__build") === 1, struct(buildCols.map(col): _*))
+    val carried = tagged.withColumn("__asof", last(buildStruct, ignoreNulls = true).over(w))
     carried.where(col("__build") === 0)
-      .select((Seq(key, ts) ++ probeCols ++ buildCols.map(c => s"asof_$c")).map(col): _*)
+      .select(Seq(key, ts).map(col) ++ probeCols.map(col) ++
+        buildCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

@@ -53,6 +53,13 @@ object Checkpoint {
                input: DataFrame, keyCol: String, commitId: String)
               (compute: DataFrame => DataFrame): (DataFrame, Long) = {
     val t0 = System.nanoTime()
+    // Crash-retry safety: if the CURRENT snapshot already references files
+    // under data/<commitId>, this attempt fully committed — re-running it
+    // would overwrite the referenced files with a fresh (possibly empty)
+    // write while the snapshot still points at them. Refuse before any IO.
+    if (IcebergLite.readSnapshot(outputTable(base, stage))
+        .exists(_.files.exists(_.path.contains(s"/data/$commitId/"))))
+      return (spark.emptyDataFrame, 0L)
     val todo = committedKeys(spark, base, stage, keyCol) match {
       case None => input
       case Some(done) => input.join(done.withColumnRenamed(keyCol, "__done_key"),

@@ -54,6 +54,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle-less docs (null / shorter than q) never form candidate cliques") {
+    // 30 empty/short docs would form a 435-pair clique (all share the
+    // all-MaxValue signature and empty-vs-empty jaccard = 1.0) — the
+    // declared semantic drops them, matching the SQL oracle which never
+    // emits a shingle row for them
+    val shortIds = (0 until 30).map(i => 900000L + i).toSet
+    val shorts = shortIds.toSeq.sorted.map(id => (id, if (id % 3 == 0) null else "ab"))
+    val real = corpus(20, 13L)
+    val df = (real ++ shorts).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDups(df, "doc_id", "text", q = 5, threshold = 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!got.exists { case (a, b) => shortIds(a) || shortIds(b) },
+      s"shingle-less docs paired: ${got.filter(p => shortIds(p._1) || shortIds(p._2))}")
+    // and the brute-force oracle agrees on the exclusion
+    val truth = Dedup.bruteForceNearDups(df, "doc_id", "text", q = 5, threshold = 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth))
+    assert(!truth.exists { case (a, b) => shortIds(a) || shortIds(b) })
+  }
+
   test("exact jaccard identities") {
     assert(Dedup.jaccard("abcdef", "abcdef", 3) == 1.0)
     assert(Dedup.jaccard("abcdef", "uvwxyz", 3) == 0.0)

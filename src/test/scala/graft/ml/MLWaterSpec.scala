@@ -61,6 +61,27 @@ class MLWaterSpec extends AnyFunSuite {
     }
   }
 
+  test("expression prediction ≡ spark.ml predictProbability, bit for bit") {
+    val px = scene
+    val model = MLWater.train(px, bands, "pc", col("valid_img"), col("valid_lab"))
+    val got = MLWater.predict(model, px, bands, col("valid_img"),
+      keys = Seq("px", "green", "nir", "swir1", "valid_img"))
+      .collect().map(r => r.getAs[Long]("px") ->
+        (r.getAs[Int]("water_mask"), r.getAs[Int]("water_prob"))).toMap
+    // driver-local oracle: the model's own public predictProbability on the
+    // exact feature vector (same arithmetic model.transform would run)
+    px.select("px", "green", "nir", "swir1", "valid_img").collect().foreach { r =>
+      val (k, g, nir, sw) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      val expected = if (!r.getBoolean(4)) (-9999, -9999)
+      else {
+        val prob = model.predictProbability(
+          org.apache.spark.ml.linalg.Vectors.dense(g.toDouble, nir.toDouble, sw.toDouble))
+        (if (prob(1) > prob(0)) 1 else 0, (prob(1) * 100).toInt)
+      }
+      assert(got(k) == expected, s"px=$k bands=($g,$nir,$sw)")
+    }
+  }
+
   test("deterministic: same seed → identical predictions") {
     val px = scene
     val m1 = MLWater.train(px, bands, "pc", col("valid_img"), col("valid_lab"))

@@ -27,6 +27,23 @@ class AsOfSpec extends AnyFunSuite {
     assert(got.values.exists(_.isEmpty) && got.values.exists(_.nonEmpty))
   }
 
+  test("null build attributes come from the matched row — no cross-row mixing") {
+    // latest build (t=9) has bid=8 but a NULL v; an older build (t=5) has a
+    // non-null v. ASOF semantics: the probe takes BOTH attributes from the
+    // t=9 row — asof_v must be null, never the resurrected older 42.
+    val probes = Seq((1L, 10L, 100L)).toDF("k", "t", "pid")
+    val builds = Seq((1L, 5L, 7L, Some(42L)), (1L, 9L, 8L, None: Option[Long]))
+      .toDF("k", "t", "bid", "v")
+    val r = AsOf.join(probes, builds, "k", "t", Seq("pid"), Seq("bid", "v"))
+      .select($"asof_bid", $"asof_v").as[(Option[Long], Option[Long])].collect()
+    assert(r.toSeq == Seq((Some(8L), None)))
+    // and a probe before any build still gets all-null attributes
+    val early = Seq((1L, 1L, 200L)).toDF("k", "t", "pid")
+    val r2 = AsOf.join(early, builds, "k", "t", Seq("pid"), Seq("bid", "v"))
+      .select($"asof_bid", $"asof_v").as[(Option[Long], Option[Long])].collect()
+    assert(r2.toSeq == Seq((None, None)))
+  }
+
   test("equal-timestamp build matches; later build does not") {
     val probes = Seq((1L, 10L, 100L)).toDF("k", "t", "pid")
     val builds = Seq((1L, 10L, 7L), (1L, 11L, 8L)).toDF("k", "t", "bid")

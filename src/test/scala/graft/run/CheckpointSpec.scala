@@ -54,6 +54,24 @@ class CheckpointSpec extends AnyFunSuite {
     assert(log.agg(sum($"rows_out")).as[Long].head() == 100)
   }
 
+  test("re-running a fully committed commitId never rewrites referenced data") {
+    val base = Files.createTempDirectory("graft_ckpt_retry").toString
+    val input = (0L until 30L).map(k => Tuple1(k)).toDF("k")
+    Checkpoint.runStage(spark, base, "s", input, "k", "cA")(stageCompute)
+    val before = IcebergLite.read(spark, Checkpoint.outputTable(base, "s"))
+      .select($"k", $"out").as[(Long, Long)].collect().toSet
+    assert(before.size == 30)
+    // a crash-retry re-issues the SAME deterministic commitId with the same
+    // input: the anti-join leaves zero todo, and the already-referenced
+    // data/cA dir must be left byte-identical (not overwritten by an empty
+    // write while the snapshot still points at it)
+    val (_, n) = Checkpoint.runStage(spark, base, "s", input, "k", "cA")(stageCompute)
+    assert(n == 0)
+    val after = IcebergLite.read(spark, Checkpoint.outputTable(base, "s"))
+      .select($"k", $"out").as[(Long, Long)].collect().toSet
+    assert(after == before)
+  }
+
   test("checksum in lineage log detects key-set drift across equivalent runs") {
     val base = Files.createTempDirectory("graft_ckpt2").toString
     val input = (0L until 40L).map(k => Tuple1(k)).toDF("k").repartition(1)
