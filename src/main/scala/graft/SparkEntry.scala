@@ -45,6 +45,7 @@ object SparkEntry {
     // geomedian / ML / NNLS: not SQL-expressible → driver rows-only check;
     // value-level correctness lives in AggregatorSpec / MLWaterSpec / NnlsSpec
     "px_geomedian" -> ((s, d) => PixelQueries.geomedian(s, d)),
+    "px_geomedoid" -> ((s, d) => PixelQueries.geomedoid(s, d)),
     "ml_water" -> ((s, d) => MLQueries.water(s, d)),
     "ml_labels" -> ((s, d) => MLQueries.waterLabels(s, d)),
     "ml_fraccover" -> ((s, d) => MLQueries.fracCover(s, d)),
@@ -115,6 +116,7 @@ object SparkEntry {
       graft.dedup.Dedup.minhashOracleSql(mutatedCorpusSql)),
     "dd_simhash" -> graft.dedup.Dedup.simhashOracleSql(mutatedCorpusSql),
     "px_geomedian" -> ops.Composites.geomedianOracleSql(ops.Pixels.pixelsSql, iters = 32),
+    "px_geomedoid" -> ops.Composites.geomedoidOracleSql(ops.Pixels.pixelsSql, iters = 32),
     "ann_lsh" -> graft.ann.Ann.lshOracleSql(
       "SELECT vec_id, embedding FROM embeddings", "vec_id < 100",
       k = 3, dim = 64, tables = 16, bits = 8),
@@ -691,6 +693,12 @@ object PixelQueries {
         round(element_at(col("gm"), 2), 6).as("gm_nir"),
         round(element_at(col("gm"), 3), 6).as("gm_red"))
   }
+
+  /** Geomedoid (A9's second variant, `dc_mosaic.py:558-584`): the observed
+    * (blue, nir, red) vector nearest the fixed-step geomedian. */
+  def geomedoid(s: SparkSession, d: String): DataFrame =
+    Composites.geomedoidComposite(px(s, d), Seq("py", "px"),
+      bands = Seq("blue", "nir", "red"), iters = 32)
 
   /** True bitmask decode (`dc_utilities.py:199-215`): (qa & Σ2^b) ≠ 0. */
   def bitmask(s: SparkSession, d: String): DataFrame =

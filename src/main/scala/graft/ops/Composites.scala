@@ -80,7 +80,14 @@ object Composites {
    * integer-sum exact; the only cross-engine leak is float summation order
    * inside one aggregate, ~1e-13 relative, absorbed by the 6-dp rounding of
    * the emitting query. */
-  def geomedianOracleSql(pixelsSql: String, iters: Int): String = {
+  def geomedianOracleSql(pixelsSql: String, iters: Int): String =
+    s"""${weiszfeldCtes(pixelsSql, iters)}
+       |SELECT py, px, round(cb, 6) AS gm_blue, round(cn, 6) AS gm_nir, round(cr, 6) AS gm_red
+       |FROM it$iters""".stripMargin
+
+  /** The shared fixed-step Weiszfeld CTE chain (pts, it0, it1..itN) —
+    * composed by both the geomedian and the geomedoid oracle. */
+  private def weiszfeldCtes(pixelsSql: String, iters: Int): String = {
     def dist2(b: String, n: String, r: String, cb: String, cn: String, cr: String) =
       s"((($b - $cb) * ($b - $cb) + ($n - $cn) * ($n - $cn)) + ($r - $cr) * ($r - $cr))"
     def step(i: Int): String = {
@@ -125,9 +132,56 @@ object Composites {
        |it0 AS MATERIALIZED (SELECT py, px, sum(b) / count(*) AS cb, sum(n) / count(*) AS cn,
        |               sum(r) / count(*) AS cr
        |        FROM pts GROUP BY py, px),
-       |${(1 to iters).map(step).mkString(",\n")}
-       |SELECT py, px, round(cb, 6) AS gm_blue, round(cn, 6) AS gm_nir, round(cr, 6) AS gm_red
-       |FROM it$iters""".stripMargin
+       |${(1 to iters).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  /**
+   * Geomedoid composite (A9's second variant, `utils/dc_mosaic.py:558-584`):
+   * the OBSERVED band vector nearest the geomedian — guarantees the
+   * composite is a real spectrum, not a synthetic point. Two aggregations,
+   * both shuffled on the pixel key only: the fixed-step geomedian, then an
+   * argmin via lexicographic struct-min (no window, map-side combinable).
+   *
+   * The center is rounded to 6 dp BEFORE the argmin (this is the operator's
+   * defined parameterization, like the fixed-step iteration count): both
+   * engines then measure distances from the identical doubles, so the
+   * argmin — including its (d², bands…) tie order — is oracle-exact.
+   */
+  def geomedoidComposite(px: DataFrame, keys: Seq[String], bands: Seq[String],
+                         iters: Int = 32): DataFrame = {
+    val agg = udaf(new GeomedianAggP(maxIter = iters, tol = 0.0))
+    val gm = px.groupBy(keys.map(col): _*)
+      .agg(agg(array(bands.map(col(_).cast("double")): _*)).as("gm"))
+      .select(keys.map(col) ++ bands.indices.map(i =>
+        round(element_at(col("gm"), i + 1), 6).as(s"__c$i")): _*)
+    val ts = bands.zipWithIndex.map { case (b, i) =>
+      col(b).cast("double") - col(s"__c$i")
+    }
+    // ((t0·t0 + t1·t1) + t2·t2) — the oracle's exact association order
+    val d2 = ts.map(t => t * t).reduceLeft(_ + _)
+    val packed = struct(d2.as("__d2") +: bands.map(col): _*)
+    val agged = px.join(gm, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(min(packed).as("__top"))
+    bands.foldLeft(agged)((df, b) => df.withColumn(s"md_$b", col(s"__top.$b")))
+      .drop("__top")
+  }
+
+  /** DuckDB twin of [[geomedoidComposite]]: the shared Weiszfeld chain,
+    * 6-dp-rounded center, then row_number argmin ordered (d², b, n, r). */
+  def geomedoidOracleSql(pixelsSql: String, iters: Int): String = {
+    def t(v: String, c: String) = s"(p.$v - c.$c)"
+    val d2 = s"((${t("b", "cb")} * ${t("b", "cb")} + ${t("n", "cn")} * ${t("n", "cn")}) + ${t("r", "cr")} * ${t("r", "cr")})"
+    s"""${weiszfeldCtes(pixelsSql, iters)},
+       |ctr AS (SELECT py, px, round(cb, 6) AS cb, round(cn, 6) AS cn, round(cr, 6) AS cr
+       |        FROM it$iters),
+       |cand AS (SELECT p.py, p.px, p.b, p.n, p.r, $d2 AS d2
+       |         FROM pts p JOIN ctr c ON c.py = p.py AND c.px = p.px)
+       |SELECT py, px, cast(b AS bigint) AS md_blue, cast(n AS bigint) AS md_nir,
+       |       cast(r AS bigint) AS md_red FROM (
+       |  SELECT py, px, b, n, r,
+       |         row_number() OVER (PARTITION BY py, px ORDER BY d2, b, n, r) AS rn
+       |  FROM cand) WHERE rn = 1""".stripMargin
   }
 }
 

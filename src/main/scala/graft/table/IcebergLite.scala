@@ -69,11 +69,20 @@ object IcebergLite {
   def readAt(spark: SparkSession, table: String, id: Long): DataFrame = {
     val snap = snapshotAt(table, id).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $id in $table"))
-    if (snap.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-    else spark.read.parquet(snap.files.map(_.path): _*)
+    readFiles(spark, snap, snap.files)
+  }
+
+  /** Scan `files` under `snap`'s pinned schema. The explicit schema is what
+    * makes [[addColumn]] evolution work: files written before the column
+    * existed read it back as null (and a pre-evolution snapshot, pinning
+    * the old schema, never shows the column at all). */
+  private def readFiles(spark: SparkSession, snap: Snapshot,
+                        files: Seq[FileEntry]): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files.map(_.path): _*)
   }
 
   /**
@@ -136,8 +145,12 @@ object IcebergLite {
 
     val parent = currentSnapshotId(table).getOrElse(-1L)
     val prevFiles = if (keepPrev) readSnapshot(table).map(_.files).getOrElse(Nil) else Nil
-    val snap = Snapshot(parent + 1, parent, schemaJson, prevFiles ++ entries)
+    commitSnapshot(table, Snapshot(parent + 1, parent, schemaJson, prevFiles ++ entries))
+  }
 
+  /** Write snapshot-N.json, then atomically swap CURRENT — the commit tail
+    * shared by data commits and metadata-only commits. */
+  private def commitSnapshot(table: String, snap: Snapshot): Snapshot = {
     Files.createDirectories(metaDir(table))
     Files.writeString(metaDir(table).resolve(s"snapshot-${snap.id}.json"), renderSnapshot(snap))
     val tmp = metaDir(table).resolve("CURRENT.tmp")
@@ -145,6 +158,25 @@ object IcebergLite {
     Files.move(tmp, metaDir(table).resolve("CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     snap
+  }
+
+  /**
+   * Schema evolution (Iceberg's `ALTER TABLE ADD COLUMN`): a METADATA-ONLY
+   * commit — a new snapshot with the same file list and the widened schema.
+   * No data file is rewritten: old files simply lack the column, and the
+   * read path (which applies the snapshot schema) backfills null. At 100 TB
+   * this is the whole point — adding a column to a petabyte table must be
+   * an O(1) pointer swap, never a rewrite. Time travel to a pre-evolution
+   * snapshot reads the old schema (each snapshot pins its own).
+   */
+  def addColumn(table: String, name: String, sqlType: String): Snapshot = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(name), s"column $name already exists")
+    val widened = schema.add(name, sqlType, nullable = true)
+    commitSnapshot(table, Snapshot(snap.id + 1, snap.id, widened.json, snap.files))
   }
 
   /** Read the current snapshot, pruning files by numeric range predicates
@@ -163,9 +195,7 @@ object IcebergLite {
         }
       }
     }
-    if (keep.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType])
-    else spark.read.parquet(keep.map(_.path): _*)
+    readFiles(spark, snap, keep)
   }
 
   /** Files selected under pruning (for tests/metrics). */

@@ -65,6 +65,32 @@ class AggregatorSpec extends AnyFunSuite {
     assert(viaSpark == scalar) // sort-before-iterate ⇒ partition-order independent
   }
 
+  test("geomedoid: returns an actual observation, the argmin to the rounded geomedian") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 400).map { i =>
+      (i % 4, i % 3, 100L + rnd.nextInt(2000), 100L + rnd.nextInt(2000), 100L + rnd.nextInt(2000))
+    }
+    val df = rows.toDF("py", "px", "blue", "nir", "red")
+    val got = Composites.geomedoidComposite(df, Seq("py", "px"),
+      Seq("blue", "nir", "red"), iters = 32)
+      .select($"py", $"px", $"md_blue", $"md_nir", $"md_red")
+      .as[(Int, Int, Long, Long, Long)].collect()
+    val byKey = rows.groupBy(r => (r._1, r._2))
+    got.foreach { case (py, px, b, n, r) =>
+      val obs = byKey((py, px)).map(t => (t._3, t._4, t._5))
+      assert(obs.contains((b, n, r)), s"medoid ($b,$n,$r) not an observation of ($py,$px)")
+      // scalar argmin oracle against the same fixed-step rounded center
+      val c = GeomedianAgg.weiszfeld(obs.map(o => Seq(o._1.toDouble, o._2.toDouble, o._3.toDouble)),
+        maxIter = 32, tol = 0.0).map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      def d2(o: (Long, Long, Long)) = {
+        val (t0, t1, t2) = (o._1 - c(0), o._2 - c(1), o._3 - c(2))
+        (t0 * t0 + t1 * t1) + t2 * t2
+      }
+      val best = obs.distinct.sortBy(o => (d2(o), o._1, o._2, o._3)).head
+      assert((b, n, r) == best, s"($py,$px): got ($b,$n,$r), argmin $best")
+    }
+  }
+
   test("composites: mostRecentValid and maxNdvi are deterministic argmax forms") {
     val df = Seq(
       (1, 1, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 10L, 100, 200, 300),

@@ -79,6 +79,37 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(pruned.size <= compacted.files.size)
   }
 
+  test("addColumn: metadata-only evolution, null backfill, time travel across schemas") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0 until 20).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      t, Seq("k"), "c1")
+    val preEvo = IcebergLite.currentSnapshotId(t).get
+    val filesBefore = IcebergLite.readSnapshot(t).get.files
+
+    val evolved = IcebergLite.addColumn(t, "score", "double")
+    // metadata-only: identical file list, no rewrite
+    assert(evolved.files == filesBefore)
+    // old rows read back with the new column null-backfilled
+    val backfilled = IcebergLite.read(spark, t)
+    assert(backfilled.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(backfilled.where($"score".isNull).count() == 20)
+
+    // new writes carry the column; mixed-era reads see both
+    IcebergLite.append(spark,
+      (20 until 30).map(i => (i.toLong, s"v$i", i * 0.5)).toDF("k", "v", "score"),
+      t, Seq("k"), "c2")
+    val all = IcebergLite.read(spark, t)
+    assert(all.count() == 30)
+    assert(all.where($"score".isNotNull).count() == 10)
+    assert(all.where($"k" === 25).select($"score").as[Double].head() == 12.5)
+
+    // time travel to the pre-evolution snapshot: old schema, no column
+    val old = IcebergLite.readAt(spark, t, preEvo)
+    assert(old.schema.fieldNames.toSeq == Seq("k", "v") && old.count() == 20)
+
+    intercept[IllegalArgumentException](IcebergLite.addColumn(t, "score", "double"))
+  }
+
   test("uncommitted data (no pointer swap) is invisible — crash atomicity") {
     val t = tmpTable()
     IcebergLite.append(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), "c1")
