@@ -156,7 +156,7 @@ object Bench {
           f""""scaling_efficiency_min":$effLo%.3f,"scaling_efficiency_max":$effHi%.3f,"reps":$reps,""" +
           f""""skew_shuffled_salted_wall_s":$skewWall%.3f,"skew_shuffled_salted_scenes_per_sec":$skewRate%.1f}"""
       scalingMd =
-        f"""## Flagship scaling (measured, median of 3, warmup discarded)
+        f"""## Flagship scaling (measured, median of $reps, warmup discarded)
            |
            |Job: read interleaved-doc corpus (parquet) → cell-cover explode →
            |broadcast equi-join vs tile grid → JTS refine → count.
@@ -259,6 +259,11 @@ object Bench {
          |
          |$scalingMd
          |## Per-query wall seconds (sf dir: $sfDir, local[$cpus])
+         |
+         |Timed through the `noop` sink (all output columns materialized —
+         |no Catalyst projection pruning), so select-shaped walls are honest
+         |and NOT comparable to the count()-timed numbers of earlier rounds.
+         |ml_water's wall includes its RF training + tree extraction.
          |
          || query | sec |
          ||---|---|

@@ -96,6 +96,19 @@ object Plans {
       capture(graft.ann.IvfIndex.probe(spark, ivfDir,
         embsTbl.where(col("vec_id") < 20), k = 3, nprobe = 4))))
 
+    // geomedoid: two pixel-key aggregations, argmin via struct-min partial agg
+    sections += (("px_geomedoid (geomedian → observed-argmin)",
+      "two shuffles, both on the pixel key; the argmin is a partial-aggregated " +
+        "lexicographic struct min (map-side combinable), never a window over observations",
+      capture(graft.SparkEntry.queries("px_geomedoid")(spark, sfDir))))
+
+    // ml_water: forest prediction as pure Column algebra
+    sections += (("ml_water prediction (forest rendered as Column algebra)",
+      "no ScalaUDF / Vector boxing in the predict plan — the trained trees are " +
+        "nested CASE expressions inside whole-stage codegen (and nothing " +
+        "task-serializes the model or its session)",
+      capture(graft.SparkEntry.queries("ml_water")(spark, sfDir))))
+
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.tools.Plans)\n\n")
     sections.foreach { case (title, why, plan) =>
