@@ -38,7 +38,12 @@ object MLWater {
       minPerClass: Long = 2000L,
       numTrees: Int = 4,
       maxDepth: Int = 5,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      // FIXED training layout: RF bootstrap sampling is partition-dependent,
+      // so the spread must not track session parallelism — a fixed width
+      // keeps the trained model (hence predictions) byte-identical across
+      // cluster sizes (the local[2] ≡ local[16] determinism sweep).
+      trainPartitions: Int = 32)
 
   val Nodata: Int = -9999
 
@@ -66,9 +71,14 @@ object MLWater {
   def train(px: DataFrame, bands: Seq[String], pcCol: String,
             validImg: Column, validLab: Column,
             p: Params = Params()): RandomForestClassificationModel = {
-    val labeled = px.where(validImg && validLab)
+    val selected = px.where(validImg && validLab)
       .withColumn("label", waterLabel(col(pcCol), p.waterThresh))
       .select(col("label") +: bands.map(b => col(b).cast("double")): _*)
+    // RF runs one distributed pass per tree level: with fewer input splits
+    // than cores those passes run underparallelized (measured: 3 partitions
+    // on the sf0.1 pixel table) — spread the persisted training set first,
+    // to a FIXED width (see Params.trainPartitions)
+    val labeled = selected.repartition(p.trainPartitions)
       .persist() // guard pass + RF's tree-depth passes reuse it, then release
     try {
       assertClassCounts(labeled, "label", p.minPerClass)
@@ -115,34 +125,23 @@ object MLWater {
     trees
   }
 
-  /** Per-tree vote term for class `cls` — `predictRaw`'s
-    * `classCounts(cls) / classCounts.sum`, the leaf constant precomputed
-    * with the identical double arithmetic, routed by nested conditionals. */
-  private def classTerm(tree: RfTree, id: Int, feats: Seq[Column], cls: Int): Column = {
-    val n = tree(id)
-    if (n.left == -1) {
-      val total = (0.0 + n.c0) + n.c1 // Array[Double].sum fold order
-      lit((if (cls == 0) n.c0 else n.c1) / total)
-    } else when(feats(n.feature) <= lit(n.threshold), classTerm(tree, n.left, feats, cls))
-      .otherwise(classTerm(tree, n.right, feats, cls))
-  }
-
-  /** Σ over trees of the class vote — `votes(cls) += term` in tree order. */
-  private def votes(trees: Seq[RfTree], feats: Seq[Column], cls: Int): Column =
-    trees.foldLeft(lit(0.0))((acc, t) => acc + classTerm(t, 0, feats, cls))
-
   /** Predict over the image-valid rows; invalid rows → −9999 on both
     * outputs (reference `:329-358`). Keeps `keys` passthrough columns.
     * water_mask = argmax(probability) (ties → class 0, Vector.argmax);
     * water_prob = ⌊P(water)·100⌋ as int — exactly model.transform's
-    * outputs (MLWaterSpec proves bit-parity vs predictProbability). */
+    * outputs (MLWaterSpec proves bit-parity vs predictProbability).
+    * The per-tree vote folds run inside [[RfForestVotes]] — a native
+    * codegen'd expression (see its scaladoc for why not CASE cascades). */
   def predictFromTrees(trees: Seq[RfTree], px: DataFrame, bands: Seq[String],
                        validImg: Column, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftShims
     val feats = bands.map(b => col(b).cast("double"))
-    val v0 = votes(trees, feats, 0)
-    val v1 = votes(trees, feats, 1)
+    val votesCol = GraftShims.column(
+      RfForestVotes(RfForest.fromTrees(trees), feats.map(GraftShims.expression)))
+    val v0 = col("__votes").getItem(0)
+    val v1 = col("__votes").getItem(1)
     val prob1 = v1 / (v0 + v1) // normalizeToProbabilitiesInPlace
-    px.withColumn("__valid", validImg).select(
+    px.withColumn("__valid", validImg).withColumn("__votes", votesCol).select(
       keys.map(col) :+
         when(col("__valid"), when(v1 > v0, 1).otherwise(0)).otherwise(Nodata).as("water_mask") :+
         when(col("__valid"), (prob1 * 100).cast("int")).otherwise(Nodata).as("water_prob"): _*)
