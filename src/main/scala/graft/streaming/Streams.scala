@@ -49,6 +49,19 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Streaming flagship: continuous tile assignment over a scene-doc stream.
+    * The geometric assignment (cell-cover explode + broadcast equi-join +
+    * refine) is STATELESS and the tile grid is a static dimension, so it
+    * plans as a stream-static broadcast join — the batch plan applied per
+    * micro-batch, no state store, no watermark needed. This is the 100 TB
+    * ingest posture: newly arrived scenes are assigned and appended while
+    * the static grid stays broadcast (StreamsSpec: AvailableNow drain ≡
+    * batch assignment row set). */
+  def streamingTileAssign(docs: DataFrame, tiles: DataFrame, res: Int = 5,
+                          geomCol: String = "wkt"): DataFrame =
+    graft.ops.TileAssign.assign(docs, tiles, res, geomCol = geomCol)
+      .select(col("doc_id"), col("tile_id"))
+
   /** Drain all available input as micro-batches into an in-memory table;
     * returns when the queue is empty (the worker's `while not q.empty()`). */
   def drainToMemory(df: DataFrame, queryName: String, outputMode: OutputMode): Unit = {

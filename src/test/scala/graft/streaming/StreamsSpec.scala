@@ -35,6 +35,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.size >= (expected.size * 95) / 100, s"${got.size}/${expected.size} windows emitted")
   }
 
+  test("streaming tile assignment (stream-static broadcast join) ≡ batch flagship") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs").toString
+    val docs = graft.model.SynthCorpus.docs(spark, 3000)
+    docs.write.mode("overwrite").parquet(dir)
+    val tiles = graft.model.SynthCorpus.tileGrid(spark).drop("path", "row")
+
+    val stream = Streams.parquetStream(spark, dir, spark.read.parquet(dir).schema)
+    Streams.drainToMemory(Streams.streamingTileAssign(stream, tiles),
+      "stream_assign", OutputMode.Append())
+    val got = spark.table("stream_assign")
+      .as[(String, String)].collect().toSet
+
+    val expected = graft.ops.TileAssign.assign(spark.read.parquet(dir), tiles)
+      .select($"doc_id", $"tile_id").as[(String, String)].collect().toSet
+    assert(got == expected, s"stream/batch diff: ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("watermark drops late data; sliding windows count each event per hop") {
     import org.apache.spark.sql.streaming.Trigger
     val in = java.nio.file.Files.createTempDirectory("graft_late_in").toString
