@@ -143,16 +143,23 @@ object Bench {
       val eff = (rate4N / rateN) / (c4N.toDouble / cN)
       // variance band: per-interleaved-round paired efficiency (round i's N
       // wall vs round i's 4N wall) — states the run-to-run spread instead of
-      // a bare point estimate (single-host DRAM bandwidth noise is real)
+      // a bare point estimate (single-host DRAM bandwidth noise is real).
+      // The raw min/max band is CONSERVATIVE: N and 4N noise draws are
+      // independent, so a round pairing a fast-N draw with a slow-4N draw
+      // lands at the band floor without any true-efficiency reading that
+      // low. The median of the paired ratios is the robust point estimate
+      // (outlier pairings fall out); the ratio-of-medians is kept for
+      // continuity with earlier rounds.
       val effPerRound = wallsByLevel(cN).zip(wallsByLevel(c4N)).map {
         case (wn, w4) => (wn / w4) / (c4N.toDouble / cN)
       }
       val (effLo, effHi) = (effPerRound.min, effPerRound.max)
+      val effPaired = median(effPerRound)
       scalingJson =
         f"""{"docs":$nDocs,"assign_rows":$rows,"cpus_n":$cN,"cpus_4n":$c4N,""" +
           f""""wall_n_s":$wallN%.3f,"wall_4n_s":$wall4N%.3f,""" +
           f""""scenes_per_sec_n":$rateN%.1f,"scenes_per_sec_4n":$rate4N%.1f,""" +
-          f""""scaling_efficiency":$eff%.3f,""" +
+          f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_paired_median":$effPaired%.3f,""" +
           f""""scaling_efficiency_min":$effLo%.3f,"scaling_efficiency_max":$effHi%.3f,"reps":$reps,""" +
           f""""skew_shuffled_salted_wall_s":$skewWall%.3f,"skew_shuffled_salted_scenes_per_sec":$skewRate%.1f}"""
       scalingMd =
@@ -166,12 +173,23 @@ object Bench {
            || N  | local[$cN]  | $nDocs | $rows | $wallN%.3f | $rateN%.1f |
            || 4N | local[$c4N] | $nDocs | $rows | $wall4N%.3f | $rate4N%.1f |
            |
-           |**scaling efficiency = (rate_4N / rate_N) / 4 = $eff%.3f** (target ≥ 0.8)
+           |**scaling efficiency = (rate_4N / rate_N) / 4 = $eff%.3f**
+           |(ratio of medians); **median of the $reps per-round paired
+           |efficiencies = $effPaired%.3f** (target ≥ 0.8; the robust
+           |estimator — see below).
            |
-           |Variance band over $reps interleaved rounds (paired per-round
-           |efficiency; medians above): **[$effLo%.3f, $effHi%.3f]**.
+           |Per-round paired efficiencies:
+           |${effPerRound.map(e => f"$e%.3f").mkString(", ")} —
+           |raw draw band **[$effLo%.3f, $effHi%.3f]**.
            |Walls N = ${wallsByLevel(cN).map(w => f"$w%.2f").mkString(", ")} s;
            |walls 4N = ${wallsByLevel(c4N).map(w => f"$w%.2f").mkString(", ")} s.
+           |
+           |The raw band is conservative: the N and 4N walls of a round are
+           |independent host-noise draws, so a round pairing a fast-N draw
+           |with a slow-4N draw prints a low ratio no single configuration
+           |ever exhibited. The paired-ratio median drops those outlier
+           |pairings; both estimators are reported, with all raw walls above
+           |for re-derivation.
            |
            |Skew machinery (same join, shuffled path + explicit ×8 salting on
            |the AM-hotspot corpus, local[${levels.last}]): wall $skewWall%.3f s,

@@ -106,6 +106,15 @@ object Ann {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
+  /** Bucket keys as a Column — the native [[LshBucketKeys]] expression
+    * (no Seq boxing; see its scaladoc). [[lshBucketUdf]] is the reference
+    * implementation AnnSpec cross-checks against. */
+  def lshKeysColumn(dim: Int, tables: Int, bits: Int, seed: Long)(e: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(LshBucketKeys(new LshPlanes(hyperplanes(dim, tables, bits, seed)),
+      GraftShims.expression(e)))
+  }
+
   def lshBucketUdf(dim: Int, tables: Int, bits: Int, seed: Long) = {
     val planes = hyperplanes(dim, tables, bits, seed)
     udf((emb: Seq[Float]) => {
@@ -260,7 +269,7 @@ object Ann {
    */
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               tables: Int = 8, bits: Int = 8, seed: Long = 42L): DataFrame = {
-    val bu = lshBucketUdf(dim, tables, bits, seed)
+    val bu = lshKeysColumn(dim, tables, bits, seed) _
     val p = broadcast(probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       .withColumn("bks", bu(col("pe")))
@@ -302,7 +311,7 @@ object Ann {
               maxTrain: Int = 100000): DataFrame = {
     val centers = IvfIndex.trainQuantizer(corpus, nlist, seed, maxTrain)
     val posts = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-      .withColumn("cell", IvfIndex.assignUdf(centers)(col("ce")))
+      .withColumn("cell", IvfIndex.assignColumn(centers)(col("ce")))
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       .withColumn("cell", explode(IvfIndex.probeCellsUdf(centers, nprobe)(col("pe")))))
     val agg = udaf(new TopKAgg(k))
@@ -325,7 +334,7 @@ object Ann {
   def cosineNearDups(df: DataFrame, dim: Int, threshold: Double,
                      tables: Int = 8, bits: Int = 10, seed: Long = 42L): DataFrame = {
     val e = df.select(col("vec_id"), col("embedding"))
-    val bu = lshBucketUdf(dim, tables, bits, seed)
+    val bu = lshKeysColumn(dim, tables, bits, seed) _
     val bucketed = e.withColumn("bks", bu(col("embedding")))
       .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bk")))
     val l = bucketed.select(col("t"), col("bk"), col("vec_id").as("id_a"))

@@ -83,6 +83,13 @@ object IvfIndex {
     centers
   }
 
+  /** [[assignUdf]] as a native codegen'd Column ([[IvfCellAssign]] — no Seq
+    * boxing on the full-corpus assignment path; AnnSpec proves ≡ UDF). */
+  def assignColumn(centers: Array[Array[Double]])(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(IvfCellAssign(new IvfCenters(centers), GraftShims.expression(e)))
+  }
+
   /** Nearest-center cell id of an embedding (squared-L2, ties to the lower
     * cell index — deterministic). */
   def assignUdf(centers: Array[Array[Double]]) = udf { (e: Seq[Float]) =>
@@ -117,7 +124,7 @@ object IvfIndex {
     val spark = corpus.sparkSession
     val centers = trainQuantizer(corpus, nlist, seed, maxTrain)
     corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-      .withColumn("cell", assignUdf(centers)(col("ce")))
+      .withColumn("cell", assignColumn(centers)(col("ce")))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/posts")
     import spark.implicits._
     centers.zipWithIndex.map { case (ctr, c) => (c, ctr.toSeq) }.toSeq

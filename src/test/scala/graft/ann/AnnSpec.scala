@@ -31,6 +31,26 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("native lsh_bucket_keys expression ≡ reference UDF, bit for bit") {
+    val bu = Ann.lshBucketUdf(dim = 64, tables = 8, bits = 10, seed = 42L)
+    val both = embs.select($"vec_id",
+      bu($"embedding").as("udf_keys"),
+      Ann.lshKeysColumn(dim = 64, tables = 8, bits = 10, seed = 42L)($"embedding").as("expr_keys"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, u, e) => assert(u == e, s"vec $id: $u vs $e") }
+  }
+
+  test("native ivf_cell expression ≡ reference UDF, every corpus row") {
+    val centers = IvfIndex.trainQuantizer(embs, nlist = 16, seed = 42L, maxTrain = 1000)
+    val both = embs.select($"vec_id",
+      IvfIndex.assignUdf(centers)($"embedding").as("u"),
+      IvfIndex.assignColumn(centers)($"embedding").as("e"))
+      .as[(Long, Int, Int)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, u, e) => assert(u == e, s"vec $id: $u vs $e") }
+  }
+
   test("LSH top-k recall@3 ≥ 0.7 vs brute force; candidates only from shared buckets") {
     val probes = embs.where($"vec_id" < 50)
     val truth = Ann.bruteForceTopK(probes, embs, k = 3)
