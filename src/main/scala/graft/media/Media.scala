@@ -1,6 +1,6 @@
 package graft.media
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -137,6 +137,69 @@ object Media {
           (doc, band, f.toString, payload.length.toLong)
         }
       }.toDF("doc_id", "band", "path", "n_bytes")
+  }
+
+  /** The reference's browse-image scale rule (`gdal_translate -ot Byte
+    * -scale lo hi 0 255`, `dc_utilities.py:320-326`): linear map of
+    * [lo, hi] onto [0, 255] with rounding and clamping. */
+  def scaleToByte(v: Column, lo: Double, hi: Double): Column =
+    least(lit(255), greatest(lit(0),
+      round((v - lit(lo)) * (255.0 / (hi - lo))))).cast("int")
+
+  /**
+   * S14: RGB browse-PNG export (`write_png_from_xr`,
+   * `dc_utilities.py:299-338`) — one REAL PNG per doc (see [[Png]]:
+   * zlib IDAT + CRC chunks, opens in any viewer), written distributed with
+   * the same mapPartitions shape as [[writeBandFiles]]. `rows` carries
+   * (doc_id, width, height, pixels) with pixels already byte-scaled and
+   * RGB-interleaved (use [[scaleToByte]] + the raster reassembly ops).
+   * Returns the manifest (doc_id, path, n_bytes).
+   */
+  def writePngBrowse(rows: DataFrame, dir: String): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id").cast("string"), col("width").cast("int"),
+      col("height").cast("int"), col("pixels"))
+      .as[(String, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (doc, w, h, px) =>
+          val p = java.nio.file.Paths.get(dir, doc)
+          java.nio.file.Files.createDirectories(p)
+          val f = p.resolve("browse.png")
+          val bytes = Png.encode(w, h, channels = 3, pixels = px)
+          java.nio.file.Files.write(f, bytes)
+          (doc, f.toString, bytes.length.toLong)
+        }
+      }.toDF("doc_id", "path", "n_bytes")
+  }
+
+  /**
+   * S13: NetCDF export (`export_xarray_to_netcdf`,
+   * `utils/dc_import_export.py:12-45` — an xarray Dataset of (y, x) band
+   * variables written via `to_netcdf`): one classic CDF-1 file holding the
+   * dense (y, x) grid with one NC_DOUBLE variable per band, missing cells
+   * filled with −9999 (the reference nodata). The grid is an aggregation
+   * OUTPUT (bounded ny × nx — dimension-sized), so the driver-side gather
+   * is deliberate; the big pixel table never funnels through this sink.
+   */
+  def exportGridNetcdf(grid: DataFrame, yCol: String, xCol: String,
+                       bands: Seq[String], path: String): Unit = {
+    val rows = grid.select(col(yCol).cast("long") +: col(xCol).cast("long") +:
+      bands.map(b => col(b).cast("double")): _*).collect()
+    val ys = rows.map(_.getLong(0)).distinct.sorted
+    val xs = rows.map(_.getLong(1)).distinct.sorted
+    val yIdx = ys.zipWithIndex.toMap
+    val xIdx = xs.zipWithIndex.toMap
+    val vars = bands.zipWithIndex.map { case (b, bi) =>
+      val a = Array.fill(ys.length * xs.length)(-9999.0)
+      rows.foreach { r =>
+        if (!r.isNullAt(2 + bi))
+          a(yIdx(r.getLong(0)) * xs.length + xIdx(r.getLong(1))) = r.getDouble(2 + bi)
+      }
+      NetCdf.Var(b, Seq(0, 1), a)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      NetCdf.writeClassic(Seq(("y", ys.length), ("x", xs.length)), vars))
   }
 
   /** S6's stated Spark read path, structurally real: media payload files on

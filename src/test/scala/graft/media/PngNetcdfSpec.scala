@@ -1,0 +1,97 @@
+package graft.media
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** S14 (PNG browse export) + S13 (NetCDF classic export): real-format
+  * encoders verified by lossless round trips, checksum/structure
+  * validation, and end-to-end distributed write → read-back. */
+class PngNetcdfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def seededPixels(n: Int, seed: Long): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(rnd.nextInt(256).toByte)
+  }
+
+  test("PNG: grey and RGB round trips are lossless; signature present") {
+    for ((w, h, ch) <- Seq((7, 5, 1), (16, 16, 3), (1, 1, 1), (33, 2, 3))) {
+      val px = seededPixels(w * h * ch, seed = w * 100 + h)
+      val png = Png.encode(w, h, ch, px)
+      assert(png.take(4).drop(1).map(_.toChar).mkString == "PNG")
+      val (w2, h2, ch2, px2) = Png.decode(png)
+      assert((w2, h2, ch2) == (w, h, ch))
+      assert(java.util.Arrays.equals(px, px2), s"${w}x$h/$ch pixels drifted")
+    }
+  }
+
+  test("PNG: chunk CRC corruption is detected") {
+    val png = Png.encode(8, 8, 3, seededPixels(192, 1L))
+    val corrupted = png.clone()
+    corrupted(40) = (corrupted(40) ^ 0x55).toByte // inside IDAT payload
+    intercept[IllegalArgumentException](Png.decode(corrupted))
+  }
+
+  test("PNG browse sink: distributed write, binaryFile read-back decodes to the input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_png").toString
+    val docs = (0 until 6).map { i =>
+      (s"scene$i", 12, 9, seededPixels(12 * 9 * 3, seed = i))
+    }
+    val manifest = Media.writePngBrowse(
+      docs.toDF("doc_id", "width", "height", "pixels"), dir).collect()
+    assert(manifest.length == 6)
+    val back = spark.read.format("binaryFile").load(s"$dir/*/browse.png")
+      .select(col("path"), col("content")).as[(String, Array[Byte])].collect()
+    assert(back.length == 6)
+    val byDoc = docs.map(d => d._1 -> d._4).toMap
+    back.foreach { case (path, bytes) =>
+      val doc = path.split('/').takeRight(2).head
+      val (w, h, ch, px) = Png.decode(bytes)
+      assert((w, h, ch) == (12, 9, 3))
+      assert(java.util.Arrays.equals(px, byDoc(doc)), s"$doc pixels drifted")
+    }
+  }
+
+  test("scaleToByte matches the gdal -scale rule (clamp + linear + round)") {
+    val vals = Seq(-100.0, 0.0, 999.0, 2000.0, 4000.0, 9999.0)
+    val got = vals.toDF("v").select(Media.scaleToByte($"v", 0.0, 4000.0).as("b"))
+      .as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 64, 128, 255, 255))
+  }
+
+  test("NetCDF classic: dims + multi-var round trip is lossless") {
+    val dims = Seq(("y", 4), ("x", 6))
+    val a = Array.tabulate(24)(i => i * 1.5 - 3)
+    val b = Array.tabulate(24)(i => math.sin(i.toDouble))
+    val bytes = NetCdf.writeClassic(dims,
+      Seq(NetCdf.Var("red", Seq(0, 1), a), NetCdf.Var("nir", Seq(0, 1), b)))
+    assert(bytes.take(3).map(_.toChar).mkString == "CDF" && bytes(3) == 1)
+    val (d2, v2) = NetCdf.readClassic(bytes)
+    assert(d2 == dims)
+    assert(v2.map(_.name) == Seq("red", "nir"))
+    assert(v2(0).values.toSeq == a.toSeq && v2(1).values.toSeq == b.toSeq)
+    intercept[IllegalArgumentException](
+      NetCdf.readClassic("NOT_A_CDF_FILE".getBytes("US-ASCII")))
+  }
+
+  test("NetCDF grid export: mean-composite grid round-trips through the file") {
+    val px = graft.ops.Pixels.pixels(spark, "/root/testdata/sf0.001")
+    val grid = graft.ops.Composites.meanComposite(px, Seq("py", "px"), "red2")
+    val path = java.nio.file.Files.createTempDirectory("graft_nc").resolve("grid.nc").toString
+    Media.exportGridNetcdf(grid, "py", "px", Seq("mean_v"), path)
+    val (dims, vars) = NetCdf.readClassic(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val (ny, nx) = (dims(0)._2, dims(1)._2)
+    assert(dims.map(_._1) == Seq("y", "x") && vars.map(_.name) == Seq("mean_v"))
+    val expected = grid.select($"py".cast("long"), $"px".cast("long"), $"mean_v".cast("double"))
+      .as[(Long, Long, Option[Double])].collect()
+    assert(expected.length <= ny * nx)
+    val ys = expected.map(_._1).distinct.sorted
+    val xs = expected.map(_._2).distinct.sorted
+    expected.foreach { case (y, x, v) =>
+      val got = vars(0).values(ys.indexOf(y) * nx + xs.indexOf(x))
+      assert(got == v.getOrElse(-9999.0), s"($y,$x): $got != $v") // null → nodata fill
+    }
+  }
+}
