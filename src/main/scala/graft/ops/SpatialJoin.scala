@@ -67,11 +67,19 @@ object SpatialJoin {
                     saltBuckets: Int = 1): DataFrame = {
     // probe geometry may be WKT (string) or WKB (binary, the storage-side
     // encoding — ~5× cheaper to parse); dimension side stays WKT (small,
-    // parsed once per task via the prepared-geometry LRU)
+    // parsed once per task via the prepared-geometry LRU). The WKB (hot)
+    // path runs NATIVE expressions (graft.plans.StCellCoverWkb /
+    // StIntersectsWkb — no udf wrapper or result-encoder layers per row);
+    // they are distinct node types from StIntersects, so the
+    // SpatialJoinStrategy planning path is untouched.
     val probeIsWkb = probe.schema(probeWkt).dataType ==
       org.apache.spark.sql.types.BinaryType
-    val cover = if (probeIsWkb) cellCoverWkbUdf else cellCoverUdf
-    val refine = if (probeIsWkb) stIntersectsWkbUdf else stIntersectsUdf
+    val cover: (Column, Column) => Column =
+      if (probeIsWkb) graft.plans.SpatialColumns.stCellCoverWkb
+      else (g, r) => cellCoverUdf(g, r)
+    val refine: (Column, Column) => Column =
+      if (probeIsWkb) graft.plans.SpatialColumns.stIntersectsWkb
+      else (d, p) => stIntersectsUdf(d, p)
     val p = probe.withColumn("__cells", cover(col(probeWkt), lit(res)))
     val d = dim.withColumn("__tcells", cellCoverUdf(col(dimWkt), lit(res)))
 

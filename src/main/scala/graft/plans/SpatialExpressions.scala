@@ -26,6 +26,14 @@ object GeoCodegen {
     graft.geom.Geo.distance(a.toString, b.toString)
   def cellCover(wkt: UTF8String, res: Int): ArrayData =
     new GenericArrayData(graft.geom.Geo.cellCoverWkt(wkt.toString, res))
+  // WKB (storage-encoding) variants; empty-geometry guards mirror the UDF
+  // forms (dirty rows drop out of joins instead of failing the task)
+  def cellCoverWkb(wkb: Array[Byte], res: Int): ArrayData =
+    if (wkb.length == 0) new GenericArrayData(Array.empty[Long])
+    else new GenericArrayData(graft.geom.Geo.cellCoverWkb(wkb, res))
+  def intersectsWkb(dimWkt: UTF8String, probeWkb: Array[Byte]): Boolean =
+    dimWkt.numBytes() > 0 && probeWkb.length > 0 &&
+      graft.geom.Geo.intersectsWkb(dimWkt.toString, probeWkb)
 }
 
 /** `st_intersects(aWkt, bWkt)` — exact JTS intersects, prepared-geometry
@@ -73,6 +81,39 @@ case class StCellCover(left: Expression, right: Expression)
   override def prettyName: String = "st_cell_cover"
 }
 
+/** `st_cell_cover_wkb(wkb, res)` — the cover generator over the storage-side
+  * WKB encoding: the flagship probe-side kernel as a native expression (no
+  * udf wrapper / result-encoder layers on the 10^12-row path). A DISTINCT
+  * node from [[StCellCover]]/[[StIntersects]], so [[SpatialJoinStrategy]]'s
+  * pattern matching is unaffected. */
+case class StCellCoverWkb(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoCodegen.cellCoverWkb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GeoCodegen.cellCoverWkb($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StCellCoverWkb =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_cell_cover_wkb"
+}
+
+/** `st_intersects_wkb(dimWkt, probeWkb)` — the exact refine over a WKB probe
+  * (prepared-geometry LRU on the dim side, WKB parse memo on the probe). */
+case class StIntersectsWkb(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoCodegen.intersectsWkb(a.asInstanceOf[UTF8String], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GeoCodegen.intersectsWkb($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersectsWkb =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_intersects_wkb"
+}
+
 /** Column-API sugar over the native expressions. */
 object SpatialColumns {
   def stIntersects(a: Column, b: Column): Column =
@@ -81,4 +122,8 @@ object SpatialColumns {
     GraftShims.column(StDistance(GraftShims.expression(a), GraftShims.expression(b)))
   def stCellCover(a: Column, res: Column): Column =
     GraftShims.column(StCellCover(GraftShims.expression(a), GraftShims.expression(res)))
+  def stCellCoverWkb(a: Column, res: Column): Column =
+    GraftShims.column(StCellCoverWkb(GraftShims.expression(a), GraftShims.expression(res)))
+  def stIntersectsWkb(dimWkt: Column, probeWkb: Column): Column =
+    GraftShims.column(StIntersectsWkb(GraftShims.expression(dimWkt), GraftShims.expression(probeWkb)))
 }

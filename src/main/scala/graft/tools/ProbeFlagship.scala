@@ -18,9 +18,10 @@ object ProbeFlagship {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val geomCol = if (args.length > 1) args(1) else "wkt"
     val tiles = graft.model.SynthCorpus.tileGrid(spark).drop("path", "row")
     def job = graft.ops.TileAssign.assign(
-      spark.read.parquet(corpus), tiles).groupBy().count()
+      spark.read.parquet(corpus), tiles, geomCol = geomCol).groupBy().count()
     (1 to 4).foreach { i =>
       val t0 = System.nanoTime()
       val n = job.collect()(0).getLong(0)
