@@ -202,6 +202,22 @@ object Media {
       NetCdf.writeClassic(Seq(("y", ys.length), ("x", xs.length)), vars))
   }
 
+  /** REAL image decode over PNG media files (S6 upgraded for one real
+    * format): binaryFile source → [[Png.decode]] (CRC-verified) → typed
+    * (width, height, channels) metadata + raw pixels. GeoTIFF remains the
+    * declared stub; the Spark-side shape (binary column in, struct meta +
+    * pixels out, per-file narrow partitioning) is identical for both. */
+  val decodePngUdf = udf((bytes: Array[Byte]) => {
+    val (w, h, ch, px) = Png.decode(bytes)
+    (w, h, ch, px)
+  })
+
+  def decodePngFiles(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), decodePngUdf(col("content")).as("d"))
+      .select(col("path"), col("d._1").as("width"), col("d._2").as("height"),
+        col("d._3").as("channels"), col("d._4").as("pixels"))
+
   /** S6's stated Spark read path, structurally real: media payload files on
     * disk via the `binaryFile` source → the same decode/feature pipeline as
     * [[decodeBandSpans]]. Each row is (path, modificationTime-free payload,

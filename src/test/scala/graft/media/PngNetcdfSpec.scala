@@ -54,6 +54,22 @@ class PngNetcdfSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG media decode: binaryFile → Png.decode pipeline recovers pixels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_png_src").toString
+    val docs = (0 until 4).map(i => (s"d$i", 10, 6, seededPixels(10 * 6 * 3, seed = 50 + i)))
+    Media.writePngBrowse(docs.toDF("doc_id", "width", "height", "pixels"), dir).collect()
+    val decoded = Media.decodePngFiles(spark, s"$dir/*/browse.png")
+      .select($"path", $"width", $"height", $"channels", $"pixels")
+      .as[(String, Int, Int, Int, Array[Byte])].collect()
+    assert(decoded.length == 4)
+    val byDoc = docs.map(d => d._1 -> d._4).toMap
+    decoded.foreach { case (path, w, h, ch, px) =>
+      assert((w, h, ch) == (10, 6, 3))
+      val doc = path.split('/').takeRight(2).head
+      assert(java.util.Arrays.equals(px, byDoc(doc)))
+    }
+  }
+
   test("scaleToByte matches the gdal -scale rule (clamp + linear + round)") {
     val vals = Seq(-100.0, 0.0, 999.0, 2000.0, 4000.0, 9999.0)
     val got = vals.toDF("v").select(Media.scaleToByte($"v", 0.0, 4000.0).as("b"))

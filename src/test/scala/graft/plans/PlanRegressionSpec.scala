@@ -52,6 +52,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("WKB hot path runs the native kernel expressions, not udf wrappers") {
+    val plan = countPlan("wkb")
+    assert(plan.contains("st_cell_cover_wkb"),
+      "probe cover is not the native st_cell_cover_wkb expression")
+    assert(plan.contains("st_intersects_wkb"),
+      "refine is not the native st_intersects_wkb expression")
+  }
+
   test("broadcast path: no shuffle over the probe side; shuffled path: real exchange") {
     // AQE formatted output repeats nodes in the "Initial Plan" section —
     // audit only the final executed tree
