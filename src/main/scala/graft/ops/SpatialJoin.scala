@@ -76,7 +76,11 @@ object SpatialJoin {
       org.apache.spark.sql.types.BinaryType
     val cover: (Column, Column) => Column =
       if (probeIsWkb) graft.plans.SpatialColumns.stCellCoverWkb
-      else (g, r) => cellCoverUdf(g, r)
+      else graft.plans.SpatialColumns.stCellCover
+    // WKT refine stays a UDF on purpose: a native StIntersects pushed into
+    // the join condition would be intercepted by SpatialJoinStrategy and
+    // replanned away from the cell equi-join; StIntersectsWkb is a distinct
+    // node, so the WKB path is native end to end.
     val refine: (Column, Column) => Column =
       if (probeIsWkb) graft.plans.SpatialColumns.stIntersectsWkb
       else (d, p) => stIntersectsUdf(d, p)

@@ -25,7 +25,8 @@ object GeoCodegen {
   def distance(a: UTF8String, b: UTF8String): Double =
     graft.geom.Geo.distance(a.toString, b.toString)
   def cellCover(wkt: UTF8String, res: Int): ArrayData =
-    new GenericArrayData(graft.geom.Geo.cellCoverWkt(wkt.toString, res))
+    if (wkt.numBytes() == 0) new GenericArrayData(Array.empty[Long])
+    else new GenericArrayData(graft.geom.Geo.cellCoverWkt(wkt.toString, res))
   // WKB (storage-encoding) variants; empty-geometry guards mirror the UDF
   // forms (dirty rows drop out of joins instead of failing the task)
   def cellCoverWkb(wkb: Array[Byte], res: Int): ArrayData =

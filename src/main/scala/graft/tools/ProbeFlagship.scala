@@ -9,8 +9,10 @@ object ProbeFlagship {
     val corpus = if (args.nonEmpty) args(0) else "/tmp/graft_bench_corpus_v2_10000000"
     val excluded = sys.env.getOrElse("GRAFT_EXCLUDE",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    val master = sys.env.getOrElse("PROBE_MASTER", "local[16]")
+    val cores = master.replaceAll("[^0-9]", "") match { case "" => "16"; case n => n }
+    val spark = SparkSession.builder().master(master)
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
@@ -19,6 +21,16 @@ object ProbeFlagship {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val geomCol = if (args.length > 1) args(1) else "wkt"
+    // corpus path convention: ..._<nDocs>; generate once if missing
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "_SUCCESS"))) {
+      val n = corpus.split('_').last.toLong
+      println(s"[flag] generating $n-doc corpus at $corpus")
+      // narrow generation — NO repartition: a 100M-row single-JVM exchange
+      // spills itself to death; the read side re-splits the big files via
+      // maxPartitionBytes anyway
+      graft.model.SynthCorpus.docs(spark, n)
+        .write.mode("overwrite").parquet(corpus)
+    }
     val tiles = graft.model.SynthCorpus.tileGrid(spark).drop("path", "row")
     def job = graft.ops.TileAssign.assign(
       spark.read.parquet(corpus), tiles, geomCol = geomCol).groupBy().count()
