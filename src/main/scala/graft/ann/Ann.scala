@@ -52,13 +52,29 @@ object Ann {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Column-algebra cosine — the reference form [[cosine]] is parity-locked
+    * against (AnnSpec); kept for that check and for non-float arrays. */
+  private[ann] def cosineCols(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
-  /** Quantized integer dot: Σ ⌊1024·aᵢ⌋·⌊1024·bᵢ⌋ (exact in Long). */
-  def quantizedDot(a: Column, b: Column): Column =
+  /** Exact cosine over float embeddings — the native [[CosineSim]] kernel
+    * (no per-pair intermediate array; see SimExpr scaladoc). */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(CosineSim(GraftShims.expression(a), GraftShims.expression(b)))
+  }
+
+  /** Column-algebra quantized dot (parity reference for [[quantizedDot]]). */
+  private[ann] def quantizedDotCols(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
       (x, y) => floor(x.cast("double") * 1024) * floor(y.cast("double") * 1024)),
       lit(0L), (acc, v) => acc + v)
+
+  /** Quantized integer dot: Σ ⌊1024·aᵢ⌋·⌊1024·bᵢ⌋ — native [[QuantizedDot]]. */
+  def quantizedDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(QuantizedDot(GraftShims.expression(a), GraftShims.expression(b)))
+  }
 
   /** Unpack a TopKAgg result column into (rank, neighbor_id, score) rows. */
   private[ann] def explodeTopKPairs(df: DataFrame, scoreName: String): DataFrame =

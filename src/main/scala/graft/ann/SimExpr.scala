@@ -1,0 +1,82 @@
+package graft.ann
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/**
+ * Similarity kernels as native codegen'd expressions. The Column-algebra
+ * forms (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) materialize a
+ * 64-element intermediate array PER CANDIDATE PAIR before folding — at 5M
+ * pairs per brute-force query that allocation dominates the arithmetic.
+ * These walk both float arrays directly.
+ *
+ * Arithmetic order is fold-for-fold the Column forms' (and their DuckDB
+ * `cosineSql` twin's): dot accumulates a·b ascending, each norm accumulates
+ * its squares ascending, result = dot / (√na · √nb) — bit-identical
+ * (AnnSpec parity test). Inputs must be `array<float>` on BOTH sides:
+ * an implicit cast would silently change the values being folded.
+ */
+object SimKernels {
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; na += v * v; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < n) { val v = b.getFloat(i).toDouble; nb += v * v; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def quantizedDot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += math.floor(a.getFloat(i).toDouble * 1024) * math.floor(b.getFloat(i).toDouble * 1024)
+      i += 1
+    }
+    s
+  }
+}
+
+sealed abstract class SimBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+}
+
+/** `cosine_sim(a, b)` — exact cosine similarity of two float embeddings. */
+case class CosineSim(left: Expression, right: Expression) extends SimBinary {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ann.SimKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** `quantized_dot(a, b)` — Σ ⌊1024·aᵢ⌋·⌊1024·bᵢ⌋ in double. */
+case class QuantizedDot(left: Expression, right: Expression) extends SimBinary {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimKernels.quantizedDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ann.SimKernels.quantizedDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "quantized_dot"
+}

@@ -41,6 +41,21 @@ class AnnSpec extends AnyFunSuite {
     both.foreach { case (id, u, e) => assert(u == e, s"vec $id: $u vs $e") }
   }
 
+  test("native cosine_sim / quantized_dot ≡ Column-algebra folds, bit for bit") {
+    val pairs = embs.select($"vec_id", $"embedding".as("a"))
+      .join(embs.select(($"vec_id" + 7).as("vec_id"), $"embedding".as("b")), "vec_id")
+    val rows = pairs.select(
+      Ann.cosine($"a", $"b").as("nc"), Ann.cosineCols($"a", $"b").as("cc"),
+      Ann.quantizedDot($"a", $"b").as("nq"),
+      Ann.quantizedDotCols($"a", $"b").cast("double").as("cq"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nc, cc, nq, cq) =>
+      assert(java.lang.Double.doubleToLongBits(nc) == java.lang.Double.doubleToLongBits(cc))
+      assert(nq == cq)
+    }
+  }
+
   test("native ivf_cell expression ≡ reference UDF, every corpus row") {
     val centers = IvfIndex.trainQuantizer(embs, nlist = 16, seed = 42L, maxTrain = 1000)
     val both = embs.select($"vec_id",
