@@ -38,7 +38,19 @@ object GraftExtensions {
       (c: Seq[Expression]) => StDistance(c(0), c(1))),
     (FunctionIdentifier("st_cell_cover"),
       info("st_cell_cover", "st_cell_cover(wkt, res) - AM-safe hierarchical cell cover"),
-      (c: Seq[Expression]) => StCellCover(c(0), c(1)))
+      (c: Seq[Expression]) => StCellCover(c(0), c(1))),
+    (FunctionIdentifier("st_cell_cover_wkb"),
+      info("st_cell_cover_wkb", "st_cell_cover_wkb(wkb, res) - cell cover over WKB geometry"),
+      (c: Seq[Expression]) => StCellCoverWkb(c(0), c(1))),
+    (FunctionIdentifier("st_intersects_wkb"),
+      info("st_intersects_wkb", "st_intersects_wkb(dimWkt, probeWkb) - exact intersection, WKB probe"),
+      (c: Seq[Expression]) => StIntersectsWkb(c(0), c(1))),
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - exact cosine similarity of float embeddings"),
+      (c: Seq[Expression]) => graft.ann.CosineSim(c(0), c(1))),
+    (FunctionIdentifier("quantized_dot"),
+      info("quantized_dot", "quantized_dot(a, b) - sum of floor(1024*a_i)*floor(1024*b_i)"),
+      (c: Seq[Expression]) => graft.ann.QuantizedDot(c(0), c(1)))
   )
 
   /** Retrofit the functions + strategy onto an already-built session (the

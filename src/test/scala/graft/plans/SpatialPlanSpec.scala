@@ -40,6 +40,23 @@ class SpatialPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL cosine_sim / quantized_dot registered via extensions") {
+    withExtensions {
+      graft.SparkTestSession.spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .createOrReplaceTempView("sp_embs")
+      val r = graft.SparkTestSession.spark.sql(
+        """SELECT cosine_sim(embedding, embedding) AS self_sim,
+          |       quantized_dot(embedding, embedding) AS qd
+          |FROM sp_embs LIMIT 20""".stripMargin).collect()
+      assert(r.length == 20)
+      r.foreach { row =>
+        assert(math.abs(row.getDouble(0) - 1.0) < 1e-12) // self-cosine ≈ 1
+        assert(row.getDouble(1) > 0.0)
+      }
+    }
+  }
+
   test("SQL st_intersects function registered via extensions") {
     withExtensions {
       scenes.createOrReplaceTempView("sp_scenes")
