@@ -237,9 +237,14 @@ object Bench {
     // here so their one-time /tmp catalog fixtures are generated OUTSIDE the
     // timed loop (their timed runs are then pure reads).
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
-    materialize(SparkEntry.queries("q21_csvscan")(spark, sfDir))
-    materialize(SparkEntry.queries("q22_jsonscan")(spark, sfDir))
+    // warmup failures must not abort the bench: the timed loop will record
+    // the real per-query error in "errors" (warmup results are discarded)
+    Seq("q1_agg", "q21_csvscan", "q22_jsonscan").foreach { q =>
+      try materialize(SparkEntry.queries(q)(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $q failed (recorded in the timed loop): $e")
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a crashing query must FAIL the bench visibly (null timing + an entry

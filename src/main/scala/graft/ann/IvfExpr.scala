@@ -16,6 +16,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
  */
 final class IvfCenters(val centers: Array[Array[Double]]) extends Serializable {
   def assign(e: ArrayData): Int = {
+    // fail loudly on short embeddings: getFloat past numElements on
+    // UnsafeArrayData silently reads adjacent memory
+    require(centers.length == 0 || e.numElements() >= centers(0).length,
+      s"embedding length ${e.numElements()} < center dim ${centers(0).length}")
     var best = 0
     var bestD = Double.MaxValue
     var c = 0

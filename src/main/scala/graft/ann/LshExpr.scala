@@ -21,6 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  */
 final class LshPlanes(val planes: Array[Array[Array[Double]]]) extends Serializable {
   def keys(e: ArrayData): GenericArrayData = {
+    // fail loudly on short embeddings: getFloat past numElements on
+    // UnsafeArrayData silently reads adjacent memory
+    require(planes.length == 0 || planes(0).length == 0 ||
+      e.numElements() >= planes(0)(0).length,
+      s"embedding length ${e.numElements()} < plane dim ${planes(0)(0).length}")
     val out = new Array[Long](planes.length)
     var t = 0
     while (t < planes.length) {

@@ -20,22 +20,38 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * an implicit cast would silently change the values being folded.
  */
 object SimKernels {
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  // Unequal lengths FAIL LOUDLY: UnsafeArrayData.getFloat past numElements
+  // reads adjacent row memory silently (the replaced zip_with/Seq forms
+  // null-padded or threw) — a malformed embedding must never fabricate a
+  // plausible similarity.
+  private def sameLength(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
+    require(b.numElements() == n,
+      s"embedding length mismatch: ${a.numElements()} vs ${b.numElements()}")
+    n
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = sameLength(a, b)
+    // one fused pass; the three accumulators are independent, so each keeps
+    // the exact fold order of the Column-algebra form (bit-parity contract)
     var dot = 0.0
-    var i = 0
-    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     var na = 0.0
-    i = 0
-    while (i < n) { val v = a.getFloat(i).toDouble; na += v * v; i += 1 }
     var nb = 0.0
-    i = 0
-    while (i < n) { val v = b.getFloat(i).toDouble; nb += v * v; i += 1 }
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def quantizedDot(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = sameLength(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -108,8 +108,15 @@ object Png {
     val stride = width * channels
     val raw = new Array[Byte](height * (stride + 1))
     var off = 0
-    while (!infl.finished() && off < raw.length)
-      off += infl.inflate(raw, off, raw.length - off)
+    var stalled = false
+    while (!infl.finished() && off < raw.length && !stalled) {
+      val k = infl.inflate(raw, off, raw.length - off)
+      off += k
+      // a truncated zlib stream (valid chunk CRCs, missing final block)
+      // makes inflate() return 0 forever — fail via the length check below
+      // instead of spinning the task
+      stalled = k == 0 && infl.needsInput()
+    }
     infl.end()
     require(off == raw.length, s"IDAT inflated to $off bytes, expected ${raw.length}")
     val pixels = new Array[Byte](height * stride)

@@ -117,11 +117,7 @@ object MLWater {
       }.toMap
     }
     // tidy the export (tiny, but tests train many models)
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    } finally walk.close()
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(tmp))
     trees
   }
 
@@ -141,7 +137,11 @@ object MLWater {
     val v0 = col("__votes").getItem(0)
     val v1 = col("__votes").getItem(1)
     val prob1 = v1 / (v0 + v1) // normalizeToProbabilitiesInPlace
-    px.withColumn("__valid", validImg).withColumn("__votes", votesCol).select(
+    // a row with any NULL band is unclassifiable → nodata on both outputs,
+    // same rule the oracle SQL applies (a null would otherwise fall through
+    // a CASE cascade's ELSE arms and fabricate a prediction)
+    val valid = bands.map(col(_).isNotNull).foldLeft(validImg)(_ && _)
+    px.withColumn("__valid", valid).withColumn("__votes", votesCol).select(
       keys.map(col) :+
         when(col("__valid"), when(v1 > v0, 1).otherwise(0)).otherwise(Nodata).as("water_mask") :+
         when(col("__valid"), (prob1 * 100).cast("int")).otherwise(Nodata).as("water_prob"): _*)
@@ -176,8 +176,9 @@ object MLWater {
                 bands: Seq[String], keys: Seq[String]): String = {
     val feats = bands.map(b => s"cast($b AS double)")
     val ks = keys.mkString(", ")
+    val validAll = (s"($validSql)" +: bands.map(b => s"$b IS NOT NULL")).mkString(" AND ")
     s"""WITH px AS ($pixelsSql),
-       |t AS (SELECT $ks, ($validSql) AS valid,
+       |t AS (SELECT $ks, ($validAll) AS valid,
        |  ${votesSql(trees, feats, 0)} AS v0,
        |  ${votesSql(trees, feats, 1)} AS v1
        |  FROM px)

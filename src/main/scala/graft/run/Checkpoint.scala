@@ -53,13 +53,16 @@ object Checkpoint {
                input: DataFrame, keyCol: String, commitId: String)
               (compute: DataFrame => DataFrame): (DataFrame, Long) = {
     val t0 = System.nanoTime()
-    // Crash-retry safety: if the CURRENT snapshot already references files
-    // under data/<commitId>, this attempt fully committed — re-running it
-    // would overwrite the referenced files with a fresh (possibly empty)
-    // write while the snapshot still points at them. Refuse before any IO.
-    if (IcebergLite.readSnapshot(outputTable(base, stage))
+    // Crash-retry safety: if ANY snapshot (current or historical — old
+    // files stay readable for time travel after compaction) references
+    // files under data/<commitId>, this attempt fully committed —
+    // re-running it would overwrite referenced files with a fresh
+    // (possibly empty) write. Refuse before any IO.
+    val outTable = outputTable(base, stage)
+    val alreadyCommitted = IcebergLite.snapshots(outTable).exists(id =>
+      IcebergLite.snapshotAt(outTable, id)
         .exists(_.files.exists(_.path.contains(s"/data/$commitId/"))))
-      return (spark.emptyDataFrame, 0L)
+    if (alreadyCommitted) return (spark.emptyDataFrame, 0L)
     val todo = committedKeys(spark, base, stage, keyCol) match {
       case None => input
       case Some(done) => input.join(done.withColumnRenamed(keyCol, "__done_key"),

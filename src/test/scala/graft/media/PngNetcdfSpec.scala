@@ -34,6 +34,28 @@ class PngNetcdfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Png.decode(corrupted))
   }
 
+  test("PNG: truncated zlib stream with VALID chunk CRCs fails loudly, never spins") {
+    val png = Png.encode(16, 16, 3, seededPixels(16 * 16 * 3, 9L))
+    // rebuild the file with the IDAT data cut in half and its CRC recomputed
+    val bb = java.nio.ByteBuffer.wrap(png, 8, png.length - 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, 8)
+    var done = false
+    while (!done) {
+      val len = bb.getInt
+      val kb = new Array[Byte](4); bb.get(kb)
+      val data = new Array[Byte](len); bb.get(data); bb.getInt // drop old crc
+      val kind = new String(kb, "US-ASCII")
+      val d2 = if (kind == "IDAT") java.util.Arrays.copyOf(data, len / 2) else data
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(d2.length).array())
+      out.write(kb); out.write(d2)
+      val crc = new java.util.zip.CRC32(); crc.update(kb); crc.update(d2)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      if (kind == "IEND") done = true
+    }
+    intercept[IllegalArgumentException](Png.decode(out.toByteArray))
+  }
+
   test("PNG browse sink: distributed write, binaryFile read-back decodes to the input") {
     val dir = java.nio.file.Files.createTempDirectory("graft_png").toString
     val docs = (0 until 6).map { i =>

@@ -70,6 +70,16 @@ class CheckpointSpec extends AnyFunSuite {
     val after = IcebergLite.read(spark, Checkpoint.outputTable(base, "s"))
       .select($"k", $"out").as[(Long, Long)].collect().toSet
     assert(after == before)
+
+    // and AFTER compaction (current snapshot no longer references data/cA,
+    // but the pre-compaction snapshot still does for time travel): a cA
+    // retry must STILL refuse, or readAt(historical) loses its files
+    val preCompact = IcebergLite.currentSnapshotId(Checkpoint.outputTable(base, "s")).get
+    IcebergLite.compact(spark, Checkpoint.outputTable(base, "s"), Seq("k"), "compactX")
+    val (_, n2) = Checkpoint.runStage(spark, base, "s", input, "k", "cA")(stageCompute)
+    assert(n2 == 0)
+    assert(IcebergLite.readAt(spark, Checkpoint.outputTable(base, "s"), preCompact)
+      .select($"k", $"out").as[(Long, Long)].collect().toSet == before)
   }
 
   test("checksum in lineage log detects key-set drift across equivalent runs") {
