@@ -99,6 +99,51 @@ class PngNetcdfSpec extends AnyFunSuite {
     assert(got == Seq(0, 0, 64, 128, 255, 255))
   }
 
+  test("PNG property: lossless round trip over random dims/channels/pixels") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      w <- Gen.choose(1, 64)
+      h <- Gen.choose(1, 64)
+      ch <- Gen.oneOf(1, 3)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (w, h, ch, seed)
+    val prop = Prop.forAll(gen) { case (w, h, ch, seed) =>
+      val px = {
+        val rnd = new scala.util.Random(seed)
+        Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      }
+      val (w2, h2, ch2, px2) = Png.decode(Png.encode(w, h, ch, px))
+      w2 == w && h2 == h && ch2 == ch && java.util.Arrays.equals(px, px2)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("NetCDF property: round trip over random dim shapes and values") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      ny <- Gen.choose(1, 20)
+      nx <- Gen.choose(1, 20)
+      nvars <- Gen.choose(1, 4)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (ny, nx, nvars, seed)
+    val prop = Prop.forAll(gen) { case (ny, nx, nvars, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vars = (0 until nvars).map(i =>
+        NetCdf.Var(s"v$i", Seq(0, 1), Array.fill(ny * nx)(rnd.nextDouble() * 1e6 - 5e5)))
+      val (d2, v2) = NetCdf.readClassic(
+        NetCdf.writeClassic(Seq(("y", ny), ("x", nx)), vars))
+      d2 == Seq(("y", ny), ("x", nx)) &&
+        v2.zip(vars).forall { case (a, b) =>
+          a.name == b.name && java.util.Arrays.equals(a.values, b.values)
+        }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("NetCDF classic: dims + multi-var round trip is lossless") {
     val dims = Seq(("y", 4), ("x", 6))
     val a = Array.tabulate(24)(i => i * 1.5 - 3)
