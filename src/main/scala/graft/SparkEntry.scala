@@ -66,6 +66,12 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => TrainQueries.annIvf(s, d)),
     "media_decode" -> ((s, d) => TrainQueries.mediaDecode(s, d)),
     "media_validate" -> ((s, d) => TrainQueries.mediaValidate(s, d)),
+    // streaming plane (S7/§2.10): the same aggregation THROUGH the
+    // streaming engine (readStream → window agg → AvailableNow drain);
+    // Complete mode emits every window, so the oracle is the plain batch
+    // GROUP BY — the stream ≡ batch equivalence, driver-checked
+    "str_windows" -> ((s, d) =>
+      graft.streaming.Streams.dailyCountsViaStream(s, s"$d/events.parquet")),
     // --- relational plane (SURVEY §2.2-2.7) ---
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
     "q2_join" -> ((s, d) => Relational.q2(s, d)),
@@ -515,6 +521,10 @@ object SparkEntry {
         |       cast(o_orderkey % 365 + 1 AS int) AS day,
         |       cast(floor(o_totalprice) AS bigint) AS bytes
         |FROM orders WHERE o_orderkey % 365 + 1 <= 31""".stripMargin,
+    "str_windows" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q23_asof" ->
       """WITH clicks AS (SELECT event_id AS probe_id, user_id, ts FROM events
         |                WHERE event_type = 'click'),

@@ -62,6 +62,44 @@ object Streams {
     graft.ops.TileAssign.assign(docs, tiles, res, geomCol = geomCol)
       .select(col("doc_id"), col("tile_id"))
 
+  private val drainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Daily event-type counts computed THROUGH the streaming engine
+    * (readStream → event-time window agg → Complete-mode AvailableNow
+    * drain) and returned as the final in-memory table. Complete mode emits
+    * every window on the last micro-batch, so the result equals the batch
+    * GROUP BY exactly — which makes the streaming plane itself
+    * DuckDB-oracle-checkable (driver query str_windows). */
+  def dailyCountsViaStream(spark: SparkSession, tablePath: String): DataFrame = {
+    // file streams need a DIRECTORY; the driver tables are single parquet
+    // files — stage a copy once, keyed by content fingerprint (same
+    // invalidation rule as the catalog fixtures)
+    val p = java.nio.file.Paths.get(tablePath)
+    val tableDir =
+      if (java.nio.file.Files.isDirectory(p)) tablePath
+      else {
+        val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_src_${graft.Fs.listingFingerprint(p)}")
+        val target = stage.resolve(p.getFileName)
+        if (!java.nio.file.Files.exists(target)) {
+          java.nio.file.Files.createDirectories(stage)
+          try java.nio.file.Files.copy(p, target)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent stager won
+        }
+        stage.toString
+      }
+    val schema = spark.read.parquet(tableDir).schema
+    val agg = parquetStream(spark, tableDir, schema)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
+    val name = s"graft_str_windows_${drainSeq.incrementAndGet()}"
+    drainToMemory(agg, name, OutputMode.Complete())
+    spark.table(name)
+  }
+
   /** Drain all available input as micro-batches into an in-memory table;
     * returns when the queue is empty (the worker's `while not q.empty()`). */
   def drainToMemory(df: DataFrame, queryName: String, outputMode: OutputMode): Unit = {
