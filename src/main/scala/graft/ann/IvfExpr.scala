@@ -1,9 +1,10 @@
 package graft.ann
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
 /**
  * IVF coarse-quantizer cell assignment as a native codegen'd expression —
@@ -38,6 +39,13 @@ final class IvfCenters(val centers: Array[Array[Double]]) extends Serializable {
 /** `ivf_cell(embedding)` → nearest-center cell id. */
 case class IvfCellAssign(centersRef: IvfCenters, child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
+  // same strict input guard as SimBinary: ArrayData.getFloat on a non-float
+  // array silently misreads memory (garbage cell ids, no error)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got $t")
+  }
   override protected def nullSafeEval(e: Any): Any =
     centersRef.assign(e.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

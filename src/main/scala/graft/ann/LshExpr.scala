@@ -1,9 +1,10 @@
 package graft.ann
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /**
  * Random-hyperplane bucket keys as a native codegen'd expression.
@@ -50,6 +51,13 @@ final class LshPlanes(val planes: Array[Array[Array[Double]]]) extends Serializa
 /** `lsh_bucket_keys(embedding)` → array of per-table bucket keys. */
 case class LshBucketKeys(planesRef: LshPlanes, child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // same strict input guard as SimBinary: ArrayData.getFloat on a non-float
+  // array silently misreads memory (garbage keys, no error)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got $t")
+  }
   override protected def nullSafeEval(e: Any): Any =
     planesRef.keys(e.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -39,9 +39,21 @@ object NetCdf {
       val expect = v.dimIds.map(id => dims(id)._2.max(1)).product
       require(v.values.length == expect,
         s"${v.name}: ${v.values.length} values for dims ${v.dimIds} (expected $expect)")
+      // vsize/begin are Int fields in CDF-1; values.length*8 must not wrap
+      // (it would emit a corrupt negative vsize before the data write fails)
+      require(v.values.length <= (Int.MaxValue - 8) / 8,
+        s"${v.name}: ${v.values.length} doubles exceeds the CDF-1 32-bit " +
+          "variable size limit (use CDF-2/5 or split the variable)")
     }
-    // header size: computed by a dry run into a generous buffer
-    val header = ByteBuffer.allocate(64 * 1024)
+    // header size: bounded exactly before allocation (name bytes + padding +
+    // fixed per-entry ints) so oversized headers fail with a clear message
+    // instead of an unexplained BufferOverflowException
+    val headerBound = 8 + // magic + numrecs
+      (8 + dims.map { case (n, _) => 4 + pad4(n.getBytes("UTF-8").length) + 4 }.sum) +
+      8 + // empty gatt_list
+      (8 + vars.map(v => 4 + pad4(v.name.getBytes("UTF-8").length) +
+        4 + 4 * v.dimIds.length + 8 + 4 + 4 + 4).sum)
+    val header = ByteBuffer.allocate(headerBound)
     header.put("CDF".getBytes("US-ASCII")).put(1.toByte) // magic + version (CDF-1)
     header.putInt(0)                                      // numrecs (no record dim)
     // dim_list
@@ -63,9 +75,12 @@ object NetCdf {
       slot
     }
     val headerLen = header.position()
-    var offset = headerLen
+    var offset = headerLen.toLong
     beginSlots.zip(vars).foreach { case (slot, v) =>
-      header.putInt(slot, offset)
+      // begin offsets are 32-bit in CDF-1: the TOTAL file size must fit too
+      require(offset <= Int.MaxValue,
+        s"${v.name}: data offset $offset exceeds the CDF-1 32-bit file limit")
+      header.putInt(slot, offset.toInt)
       offset += pad4(v.values.length * 8)
     }
     val out = new ByteArrayOutputStream()

@@ -57,8 +57,10 @@ object RfForest {
       tree.foreach { case (id, nd) =>
         fe(id) = nd.feature; th(id) = nd.threshold; lf(id) = nd.left; rt(id) = nd.right
         val total = (0.0 + nd.c0) + nd.c1 // Array[Double].sum fold order
-        a0(id) = nd.c0 / total
-        a1(id) = nd.c1 / total
+        // predictRaw skips trees whose leaf stats sum to 0 (adds nothing to
+        // the votes) — a 0/0 here would instead poison the fold with NaN
+        a0(id) = if (total == 0.0) 0.0 else nd.c0 / total
+        a1(id) = if (total == 0.0) 0.0 else nd.c1 / total
       }
       (fe, th, lf, rt, a0, a1)
     }
@@ -73,6 +75,13 @@ case class RfForestVotes(forest: RfForest, features: Seq[Expression]) extends Ex
   override def children: Seq[Expression] = features
   override def nullable: Boolean = features.exists(_.nullable)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // eval asInstanceOf[Double]s each child — fail at analysis, not mid-task
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    features.find(_.dataType != DoubleType) match {
+      case None => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case Some(bad) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires double features, got ${bad.dataType}")
+    }
 
   override def eval(input: InternalRow): Any = {
     val f = new Array[Double](features.length)

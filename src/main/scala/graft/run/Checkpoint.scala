@@ -62,7 +62,25 @@ object Checkpoint {
     val alreadyCommitted = IcebergLite.snapshots(outTable).exists(id =>
       IcebergLite.snapshotAt(outTable, id)
         .exists(_.files.exists(_.path.contains(s"/data/$commitId/"))))
-    if (alreadyCommitted) return (spark.emptyDataFrame, 0L)
+    if (alreadyCommitted) {
+      // A crash AFTER the output commit but BEFORE the commitlog append
+      // leaves committed data with no lineage entry — and this guard would
+      // otherwise freeze that divergence forever (log() never reconciling
+      // with committed()). Detect the gap via the log table's own snapshot
+      // metadata (no data read) and backfill the entry from the
+      // already-written data/<commitId> files. rows_in and wall_ms of the
+      // crashed attempt are unrecoverable — recorded as -1 with status
+      // "backfilled" rather than fabricated.
+      val logHasCommit = IcebergLite.snapshots(logTable(base, stage)).exists(id =>
+        IcebergLite.snapshotAt(logTable(base, stage), id)
+          .exists(_.files.exists(_.path.contains(s"/data/$commitId/"))))
+      if (!logHasCommit) {
+        val metrics = partitionMetrics(spark, base, stage, keyCol, commitId,
+          rowsIn = -1L, wallMs = -1L, status = "backfilled")
+        IcebergLite.append(spark, metrics, logTable(base, stage), Seq("partition_id"), commitId)
+      }
+      return (spark.emptyDataFrame, 0L)
+    }
     val todo = committedKeys(spark, base, stage, keyCol) match {
       case None => input
       case Some(done) => input.join(done.withColumnRenamed(keyCol, "__done_key"),
@@ -79,8 +97,19 @@ object Checkpoint {
 
     // lineage + metrics from the files just written (no plan re-execution:
     // `out` must not be computed twice at 100 TB)
-    val written = spark.read.parquet(s"${outputTable(base, stage)}/data/$commitId")
-    val metrics = written
+    val metrics = partitionMetrics(spark, base, stage, keyCol, commitId,
+      rowsIn = todoCount, wallMs = wallMs, status = "committed")
+    IcebergLite.append(spark, metrics, logTable(base, stage), Seq("partition_id"), commitId)
+    (out, todoCount)
+  }
+
+  /** Per-partition lineage metrics derived from the files written under
+    * data/<commitId> (never a plan re-execution). Shared by the normal
+    * commit path and the crash-gap backfill in [[runStage]]. */
+  private def partitionMetrics(spark: SparkSession, base: String, stage: String,
+                               keyCol: String, commitId: String,
+                               rowsIn: Long, wallMs: Long, status: String): DataFrame =
+    spark.read.parquet(s"${outputTable(base, stage)}/data/$commitId")
       .withColumn("__pid", spark_partition_id())
       .groupBy(col("__pid").as("partition_id"))
       .agg(
@@ -90,13 +119,10 @@ object Checkpoint {
         // order-independent, overflow-free (ANSI-safe) content checksum
         expr(s"bit_xor(xxhash64($keyCol))").as("checksum"))
       .withColumn("stage", lit(stage))
-      .withColumn("rows_in", lit(todoCount))
+      .withColumn("rows_in", lit(rowsIn))
       .withColumn("wall_ms", lit(wallMs))
-      .withColumn("status", lit("committed"))
+      .withColumn("status", lit(status))
       .withColumn("commit_id", lit(commitId))
-    IcebergLite.append(spark, metrics, logTable(base, stage), Seq("partition_id"), commitId)
-    (out, todoCount)
-  }
 
   /** All committed output rows of a stage. */
   def committed(spark: SparkSession, base: String, stage: String): DataFrame =

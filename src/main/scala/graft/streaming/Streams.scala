@@ -83,8 +83,17 @@ object Streams {
         val target = stage.resolve(p.getFileName)
         if (!java.nio.file.Files.exists(target)) {
           java.nio.file.Files.createDirectories(stage)
-          try java.nio.file.Files.copy(p, target)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent stager won
+          // crash-safe staging: copy to a process-unique temp name, then
+          // ATOMIC_MOVE into place (a direct copy crashed mid-write would
+          // leave a truncated parquet that the exists() check treats as
+          // complete forever — same rule as Relational.ensureCatalog)
+          val tmp = stage.resolve(s".${p.getFileName}.${java.util.UUID.randomUUID}.tmp")
+          java.nio.file.Files.copy(p, tmp)
+          try java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => // concurrent stager won
+            java.nio.file.Files.deleteIfExists(tmp)
+          }
         }
         stage.toString
       }

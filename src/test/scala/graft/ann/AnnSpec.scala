@@ -66,6 +66,20 @@ class AnnSpec extends AnyFunSuite {
     both.foreach { case (id, u, e) => assert(u == e, s"vec $id: $u vs $e") }
   }
 
+  test("native kernels reject non-float arrays at analysis (no silent memory misread)") {
+    // array<double> through getFloat would silently read garbage — the type
+    // check must fail the query at analysis time instead
+    val dbl = Seq((1L, Seq(0.5, 0.25))).toDF("vec_id", "embedding")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      dbl.select(Ann.lshKeysColumn(dim = 2, tables = 1, bits = 4, seed = 1)($"embedding"))
+        .collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      dbl.select(IvfIndex.assignColumn(Array(Array(0.0, 0.0), Array(1.0, 1.0)))($"embedding"))
+        .collect()
+    }
+  }
+
   test("LSH top-k recall@3 ≥ 0.7 vs brute force; candidates only from shared buckets") {
     val probes = embs.where($"vec_id" < 50)
     val truth = Ann.bruteForceTopK(probes, embs, k = 3)

@@ -82,6 +82,38 @@ class CheckpointSpec extends AnyFunSuite {
       .select($"k", $"out").as[(Long, Long)].collect().toSet == before)
   }
 
+  test("crash between output commit and log append: retry backfills the missing lineage entry") {
+    val base = Files.createTempDirectory("graft_ckpt_gap").toString
+    val input = (0L until 25L).map(k => Tuple1(k)).toDF("k")
+    // simulate the torn state: output fully committed under cG, but the
+    // process died before the commitlog append ran
+    IcebergLite.append(spark, stageCompute(input), Checkpoint.outputTable(base, "sg"),
+      Seq("k"), "cG")
+    assert(IcebergLite.currentSnapshotId(Checkpoint.logTable(base, "sg")).isEmpty)
+
+    // the retry must refuse to rewrite the data AND reconcile the log
+    val (_, n) = Checkpoint.runStage(spark, base, "sg", input, "k", "cG")(stageCompute)
+    assert(n == 0)
+    val log = Checkpoint.log(spark, base, "sg")
+    val entries = log.select($"commit_id", $"status", $"rows_out", $"rows_in")
+      .as[(String, String, Long, Long)].collect()
+    assert(entries.nonEmpty && entries.forall { case (c, st, _, ri) =>
+      c == "cG" && st == "backfilled" && ri == -1L })
+    assert(log.agg(sum($"rows_out")).as[Long].head() == 25)
+    // checksum must match a clean run of the same stage (backfill derives it
+    // from the committed files, so content divergence is still detectable)
+    val cleanBase = Files.createTempDirectory("graft_ckpt_gap_ref").toString
+    Checkpoint.runStage(spark, cleanBase, "sg", input, "k", "cG")(stageCompute)
+    val xGap = log.agg(expr("bit_xor(checksum)")).as[Long].head()
+    val xClean = Checkpoint.log(spark, cleanBase, "sg")
+      .agg(expr("bit_xor(checksum)")).as[Long].head()
+    assert(xGap == xClean)
+
+    // idempotent: a second retry must not duplicate the backfilled entry
+    Checkpoint.runStage(spark, base, "sg", input, "k", "cG")(stageCompute)
+    assert(Checkpoint.log(spark, base, "sg").agg(sum($"rows_out")).as[Long].head() == 25)
+  }
+
   test("checksum in lineage log detects key-set drift across equivalent runs") {
     val base = Files.createTempDirectory("graft_ckpt2").toString
     val input = (0L until 40L).map(k => Tuple1(k)).toDF("k").repartition(1)
