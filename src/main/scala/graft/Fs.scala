@@ -16,6 +16,27 @@ object Fs {
     } finally walk.close()
   }
 
+  /** /tmp hygiene for fingerprint-keyed caches: delete sibling directories
+    * of `keep` that share `prefix` but carry a STALE fingerprint (the data
+    * they were staged from has been regenerated, so nothing will ever read
+    * them again). Bounds the tmp footprint of repeated Verify/Bench runs to
+    * one live dir per cache. Racing sessions only ever delete dirs no
+    * fingerprint-matching reader can reference; a concurrent deletion of
+    * the same stale dir is harmless (deleteIfExists). */
+  def reapStaleSiblings(keep: Path, prefix: String): Unit = {
+    val parent = keep.getParent
+    if (parent == null || !Files.exists(parent)) return
+    val ls = Files.list(parent)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix) &&
+          p.getFileName.toString != keep.getFileName.toString)
+        .toSeq // materialize before deleting (stream over a mutating dir)
+        .foreach(p => try deleteRecursively(p) catch { case _: java.io.IOException => () })
+    } finally ls.close()
+  }
+
   /** Cheap content fingerprint of a directory or file: 64-bit FNV over the
     * sorted (relative-name, size, mtime) listing — changes whenever the
     * underlying data files are regenerated, without reading their bytes. */

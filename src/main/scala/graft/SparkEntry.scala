@@ -72,6 +72,11 @@ object SparkEntry {
     // GROUP BY — the stream ≡ batch equivalence, driver-checked
     "str_windows" -> ((s, d) =>
       graft.streaming.Streams.dailyCountsViaStream(s, s"$d/events.parquet")),
+    // durable streaming ingest (§2.10/§2.11): multi-micro-batch AvailableNow
+    // drain → foreachBatch → checkpointed IcebergLite commits; exactly-once
+    // means the committed table ≡ the source row set, which IS the oracle
+    "str_append" -> ((s, d) =>
+      graft.streaming.Streams.durableEventsIngest(s, s"$d/events.parquet")),
     // --- relational plane (SURVEY §2.2-2.7) ---
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
     "q2_join" -> ((s, d) => Relational.q2(s, d)),
@@ -525,6 +530,10 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "str_append" ->
+      """SELECT event_id, event_type,
+        |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+        |FROM events""".stripMargin,
     "q23_asof" ->
       """WITH clicks AS (SELECT event_id AS probe_id, user_id, ts FROM events
         |                WHERE event_type = 'click'),
@@ -969,8 +978,11 @@ object Relational {
   private def ensureCatalog(kind: String, d: String)(write: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val fp = graft.Fs.listingFingerprint(Paths.get(d, "orders.parquet"))
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_${kind}_catalog_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_" + fp)
+    val prefix = s"graft_${kind}_catalog_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), prefix + fp)
+    // stale fingerprints of this same (kind, sfDir) cache can never be read
+    // again — reap them so repeated runs keep a bounded /tmp footprint
+    graft.Fs.reapStaleSiblings(dir, prefix)
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
       graft.Fs.deleteRecursively(dir) // crashed half-write: rebuild, don't wedge
       val stage = Paths.get(dir.toString + "_stage_" + ProcessHandle.current().pid())

@@ -22,9 +22,53 @@ import org.apache.spark.sql.types.StructType
 object Streams {
 
   /** File-source stream over a parquet directory (schema must be supplied —
-    * streaming sources cannot infer). */
-  def parquetStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    * streaming sources cannot infer). `options` pass through to the source
+    * (e.g. maxFilesPerTrigger to bound micro-batch size). */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType,
+                    options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(schema).options(options).parquet(dir)
+
+  /**
+   * Durable streaming sink: `foreachBatch` → checkpointed [[IcebergLite]]
+   * append — the 100 TB ingest landing path (never driver memory). Drains
+   * all available input (AvailableNow) and returns when the queue is empty.
+   *
+   * Exactly-once, layered:
+   *  1. each micro-batch commits under the DETERMINISTIC commitId
+   *     `b<batchId>`; a batch replayed after a crash (stream checkpoint not
+   *     yet advanced) hits [[graft.run.Checkpoint.runStage]]'s
+   *     already-committed guard and is skipped on METADATA alone (and the
+   *     lineage log is backfilled if the crash fell between the two
+   *     commits);
+   *  2. a crash mid-batch leaves data files with no snapshot pointer —
+   *     invisible, simply redone;
+   *  3. if the stream checkpoint itself is lost and offsets replay under
+   *     NEW batchIds, the per-batch anti-join on `keyCol` still dedups —
+   *     the reference's SAC_DONE re-scan semantics
+   *     (`utils/prep_utils.py:356-365`).
+   * Layer 1 costs O(1) metadata per replay; layer 3's done-set read is
+   * keys-only (column-pruned) and only paid by batches that commit.
+   *
+   * `onBatchCommitted` is the per-batch monitoring hook (batchId); tests
+   * use it to inject crashes between the table commit and the stream
+   * checkpoint advance.
+   */
+  def appendToTable(df: DataFrame, base: String, stage: String, keyCol: String,
+                    checkpointDir: String,
+                    onBatchCommitted: Long => Unit = _ => ()): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.run.Checkpoint.runStage(batch.sparkSession, base, stage, batch,
+          keyCol, f"b$batchId%06d")(identity)
+        onBatchCommitted(batchId)
+        (): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
 
   /** Tumbling event-time window counts with watermark (late data beyond
     * `watermark` dropped). Batch-equivalent: groupBy(window(ts, w)). */
@@ -78,8 +122,13 @@ object Streams {
     val tableDir =
       if (java.nio.file.Files.isDirectory(p)) tablePath
       else {
+        // fingerprint-keyed (invalidates on data regen) + path-keyed (so
+        // reaping never touches another sfDir's live cache); stale
+        // fingerprints of the SAME table are deleted — bounded /tmp
+        val prefix = s"graft_stream_src_${tablePath.replaceAll("[^a-zA-Z0-9]", "_")}_"
         val stage = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-          s"graft_stream_src_${graft.Fs.listingFingerprint(p)}")
+          prefix + graft.Fs.listingFingerprint(p))
+        graft.Fs.reapStaleSiblings(stage, prefix)
         val target = stage.resolve(p.getFileName)
         if (!java.nio.file.Files.exists(target)) {
           java.nio.file.Files.createDirectories(stage)
@@ -106,7 +155,43 @@ object Streams {
         col("event_type"), col("n"))
     val name = s"graft_str_windows_${drainSeq.incrementAndGet()}"
     drainToMemory(agg, name, OutputMode.Complete())
-    spark.table(name)
+    // copy the result off the memory sink and drop the temp view so
+    // repeated calls in one session don't accumulate sink tables
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /**
+   * The durable-ingest plane as an oracle-checkable query (driver query
+   * str_append): stream the events table (staged as a 4-file directory so
+   * the AvailableNow drain runs several micro-batches under
+   * maxFilesPerTrigger=1, like real arrivals) through [[appendToTable]]
+   * into a checkpointed [[IcebergLite]] table, then read the COMMITTED
+   * table back. Exactly-once makes the committed row set equal the source
+   * exactly, so the oracle is a plain SELECT over `events`. Re-runs against
+   * unchanged data find a complete stream checkpoint (zero new batches) and
+   * are metadata-only no-ops — idempotence exercised on every Verify run.
+   */
+  def durableEventsIngest(spark: SparkSession, tablePath: String): DataFrame = {
+    val prefix = s"graft_str_append_${tablePath.replaceAll("[^a-zA-Z0-9]", "_")}_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(tablePath)))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val srcDir = root.resolve("src")
+    if (!java.nio.file.Files.exists(srcDir.resolve("_SUCCESS"))) {
+      graft.Fs.deleteRecursively(srcDir) // crashed half-write: rebuild
+      spark.read.parquet(tablePath).repartition(4)
+        .write.mode("overwrite").parquet(srcDir.toString)
+    }
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val base = root.resolve("tbl").toString
+    appendToTable(
+      parquetStream(spark, srcDir.toString, schema, Map("maxFilesPerTrigger" -> "1")),
+      base, "events", "event_id", root.resolve("ckpt").toString)
+    graft.run.Checkpoint.committed(spark, base, "events")
+      .select(col("event_id"), col("event_type"),
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"), col("value"))
   }
 
   /** Drain all available input as micro-batches into an in-memory table;

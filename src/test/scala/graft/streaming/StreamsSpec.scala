@@ -91,6 +91,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(wins == Set(t(0), t(5)))
   }
 
+  test("durable sink: kill mid-drain, resume → table byte-identical to batch, exactly-once") {
+    val in = java.nio.file.Files.createTempDirectory("graft_durable_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_durable_ck").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_durable_tbl").toString
+    // 4 input files → 4 micro-batches under maxFilesPerTrigger=1
+    val rows = (0L until 400L).map(k => (k, s"v$k"))
+    rows.toDF("k", "v").repartition(4).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def stream = Streams.parquetStream(spark, in, schema, Map("maxFilesPerTrigger" -> "1"))
+
+    // crash AFTER batch 1's table commit but BEFORE the stream checkpoint
+    // advances — the worst torn state (data durable, offsets not)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.appendToTable(stream, base, "ingest", "k", ckpt,
+        onBatchCommitted = id => if (id == 1) throw new RuntimeException("injected crash"))
+    }
+    assert(ex.getMessage.contains("injected crash"))
+    val midCount = graft.run.Checkpoint.committed(spark, base, "ingest").count()
+    assert(midCount == 200, s"two batches should have landed before the crash, got $midCount")
+
+    // resume with the same checkpoint: batch 1 replays (skipped on metadata),
+    // batches 2..3 drain — final table must equal the input exactly once
+    Streams.appendToTable(stream, base, "ingest", "k", ckpt)
+    val got = graft.run.Checkpoint.committed(spark, base, "ingest")
+      .select($"k", $"v").as[(Long, String)].collect()
+    assert(got.length == 400, s"exactly-once violated: ${got.length} rows")
+    assert(got.toSet == rows.toSet)
+    // lineage log reconciled: the replayed batch's entry is backfilled, all
+    // four batches accounted for
+    val log = graft.run.Checkpoint.log(spark, base, "ingest")
+    assert(log.agg(sum($"rows_out")).as[Long].head() == 400)
+    assert(log.select($"commit_id").distinct().count() == 4)
+
+    // a THIRD drain (nothing new) is a no-op — idempotent re-runs
+    Streams.appendToTable(stream, base, "ingest", "k", ckpt)
+    assert(graft.run.Checkpoint.committed(spark, base, "ingest").count() == 400)
+  }
+
   test("stateful lease tracker accumulates across micro-batches (queue protocol state)") {
     val events = Seq(
       Streams.Lease("job1", 1, "lease"), Streams.Lease("job1", 2, "complete"),
