@@ -158,7 +158,7 @@ object SparkEntry {
          |SELECT cast(doc_id AS varchar) AS doc_id, band, cast(off AS int) AS "offset",
          |       cast(16 + abs(h % 17) AS int) AS width,
          |       cast(16 + abs(h % 13) AS int) AS height,
-         |       3 AS channels, 3 AS n_features
+         |       1 AS channels, 1 AS n_features
          |FROM hs""".stripMargin
     },
     "geo_tile_assign" ->
@@ -888,9 +888,12 @@ object TrainQueries {
       }
     }
     bands
-      .withColumn("payload", graft.media.Media.fakePayloadUdf(col("media_ref")))
+      // REAL tiled-GeoTIFF bytes; mode-1 severs the header, mode-2 cuts the
+      // last main-resolution tile — the same failure classes as before, now
+      // detected by the real COG validator (GeoTiff.validate)
+      .withColumn("payload", graft.media.Media.geoTiffPayloadUdf(col("media_ref")))
       .withColumn("mode", (col("doc_id").cast("long") % 3).cast("int"))
-      .withColumn("v", graft.media.Media.validatePayloadUdf(
+      .withColumn("v", graft.media.Media.validateGeoTiffUdf(
         corrupt(col("payload"), col("mode"))))
       .select(col("doc_id"), col("band"), col("v._1").as("ok"), col("v._2").as("reason"))
   }

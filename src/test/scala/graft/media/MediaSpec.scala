@@ -59,6 +59,33 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("real GeoTIFF band sink → binaryFile read-back: decode + COG validation clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiff_sink").toString
+    val rows = Seq(("S2A_9", "blue"), ("S2A_9", "nir"), ("LC08_3", "swir1")).map {
+      case (doc, band) =>
+        val ref = s"${doc}_$band"
+        val (w, h) = Media.bandDims(ref)
+        (doc, band, GeoTiff.encode(w, h, Media.bandPixels(ref, w, h),
+          nodata = 0, tileSize = 16, overviewLevels = 2))
+    }
+    val manifest = Media.writeBandFiles(rows.toDF("doc_id", "band", "payload"), dir)
+      .as[(String, String, String, Long)].collect()
+    assert(manifest.length == 3)
+    // every emitted file is a structurally valid COG and round-trips
+    manifest.foreach { case (doc, band, path, _) =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      assert(GeoTiff.validateCog(bytes).isEmpty, s"$doc/$band not COG-valid")
+      val ref = s"${doc}_$band"
+      val (w, h) = Media.bandDims(ref)
+      assert(GeoTiff.decode(bytes).main.pixels.sameElements(Media.bandPixels(ref, w, h)))
+    }
+    // distributed read-back through the binaryFile source
+    val back = Media.decodeGeoTiffFiles(spark, s"$dir/*")
+      .select($"meta.width", $"meta.channels", size($"features"))
+      .as[(Int, Int, Int)].collect()
+    assert(back.length == 3 && back.forall { case (w, ch, nf) => w >= 16 && ch == 1 && nf == 1 })
+  }
+
   test("frame sampling returns n row-slices of width*channels bytes") {
     val p = Media.fakePayload("ref", 32, 16, 3)
     val frames = Media.frameSample(p, 4)
@@ -88,7 +115,8 @@ class MediaSpec extends AnyFunSuite {
       .as[(String, String, Int, Int, Seq[Float])].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (_, band, w, ch, feats) =>
-      assert(w >= 16 && ch == 3 && feats.length == ch)
+      // single-band GeoTIFFs (one COG per band, like the reference)
+      assert(w >= 16 && ch == 1 && feats.length == ch)
       assert(feats.forall(f => f >= 0f && f <= 1f))
       assert(band.nonEmpty)
     }
