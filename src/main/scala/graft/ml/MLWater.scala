@@ -100,7 +100,12 @@ object MLWater {
     * version-stable route to per-leaf class counts; no private tree API.
     * Trees are returned in `treeID` order, the order `predictRaw` visits. */
   def extractTrees(spark: SparkSession, model: RandomForestClassificationModel): Seq[RfTree] = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_rf_export").toString
+    // the export is tiny (trees × nodes rows) but the write/read jobs touch
+    // many small files — prefer the RAM-backed tmpfs when present
+    val tmpBase = java.nio.file.Paths.get("/dev/shm")
+    val tmp = (if (java.nio.file.Files.isWritable(tmpBase))
+      java.nio.file.Files.createTempDirectory(tmpBase, "graft_rf_export")
+    else java.nio.file.Files.createTempDirectory("graft_rf_export")).toString
     model.write.overwrite().save(tmp)
     val rows = spark.read.parquet(s"$tmp/data")
       .select(col("treeID"), col("nodeData.id"), col("nodeData.impurityStats"),
