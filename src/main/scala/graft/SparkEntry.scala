@@ -95,6 +95,9 @@ object SparkEntry {
     "q15_frame" -> ((s, d) => Relational.q15(s, d)),
     "q16_bands" -> ((s, d) => Relational.q16(s, d)),
     "q17_inventory" -> ((s, d) => Relational.q17(s, d)),
+    // table plane (§4.2/S12): IcebergLite CoW MERGE upsert, committed
+    // table read back — exactly the anti-join ∪ updates the oracle states
+    "tbl_merge" -> ((s, d) => Relational.tblMerge(s, d)),
     "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
@@ -534,6 +537,20 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
         |FROM events""".stripMargin,
+    "tbl_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |              FROM orders WHERE o_orderkey % 7 = 0),
+        |upd AS (SELECT o_orderkey, o_custkey,
+        |               cast(floor(o_totalprice) + 1 AS double) AS o_totalprice
+        |        FROM orders WHERE o_orderkey % 14 = 0
+        |        UNION ALL
+        |        SELECT o_orderkey, o_custkey, o_totalprice
+        |        FROM orders WHERE o_orderkey % 7 = 3),
+        |merged AS (SELECT b.* FROM base b ANTI JOIN upd u USING (o_orderkey)
+        |           UNION ALL SELECT * FROM upd)
+        |SELECT o_orderkey, o_custkey,
+        |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+        |FROM merged""".stripMargin,
     "q23_asof" ->
       """WITH clicks AS (SELECT event_id AS probe_id, user_id, ts FROM events
         |                WHERE event_type = 'click'),
@@ -1136,6 +1153,36 @@ object Relational {
       .groupBy("scenename")
       .agg(count(lit(1)).as("n_objects"), sum("size").as("sac_size"))
       .withColumn("sac_done", col("n_objects") >= 7)
+
+  /** The table plane's MERGE upsert as a driver-oracled query (S12's ODC
+    * index-sink semantics, Iceberg CoW MERGE): build a keyed IcebergLite
+    * table from a deterministic base slice of `orders`, merge an
+    * update+insert batch, read the COMMITTED table back. The oracle is the
+    * merge's relational definition (anti-join ∪ updates) in plain SQL.
+    * Fingerprint-keyed under /tmp; re-runs hit the commitId idempotence
+    * guard and are metadata-only no-ops. */
+  def tblMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_merge_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    val orders = t(s, d, "orders")
+    if (IcebergLite.currentSnapshotId(table).isEmpty) {
+      val base = orders.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergLite.append(s, base, table, Seq("o_orderkey"), "base")
+    }
+    val updates = orders.where(col("o_orderkey") % 14 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (floor(col("o_totalprice")) + 1).cast("double").as("o_totalprice"))
+      .unionByName(orders.where(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+    IcebergLite.merge(s, table, updates, Seq("o_orderkey"), Seq("o_orderkey"), "m1")
+    IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).as("price_c"))
+  }
 
   /** Multi-format timestamp fallback parsing (`utils/prepLS.py:210-218`:
     * several strptime patterns tried in order, dateutil as last resort) —

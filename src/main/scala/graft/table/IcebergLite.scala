@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -24,12 +24,27 @@ import scala.jdk.CollectionConverters._
  * Scale notes: manifest min/max over the Morton cell id gives partition
  * pruning for spatial range scans (children of a parent cell are an id
  * range — CellIndexSpec "locality"); stats are collected in ONE extra pass
- * grouped by `input_file_name()`, not per-file reads.
+ * grouped by `input_file_name()`, not per-file reads; `statsExprs` extends
+ * the manifest to derived values (e.g. min/max over a nested span field,
+ * pruning band-filter scans file-level). Schema evolution is complete and
+ * always metadata-only: ADD (null backfill), DROP, RENAME (logical →
+ * physical name mapping — the name-mapping form of Iceberg's field-ID
+ * indirection), each snapshot pinning its own schema for time travel.
+ * [[merge]] is a copy-on-write MERGE upsert with crash-retry idempotence.
  */
 object IcebergLite {
 
   case class FileEntry(path: String, rows: Long, min: Map[String, String], max: Map[String, String])
-  case class Snapshot(id: Long, parent: Long, schemaJson: String, files: Seq[FileEntry])
+
+  /** `renames` maps LOGICAL column name → PHYSICAL (in-file) column name
+    * for fields whose logical name has diverged via [[renameColumn]] —
+    * the name-mapping form of Iceberg's field-ID indirection. Data files
+    * always store physical names; reads substitute physical names into the
+    * pinned schema and alias back; renames are O(1) metadata commits. */
+  case class Snapshot(id: Long, parent: Long, schemaJson: String, files: Seq[FileEntry],
+                      renames: Map[String, String] = Map.empty) {
+    def physical(logical: String): String = renames.getOrElse(logical, logical)
+  }
 
   private def metaDir(table: String): Path = Paths.get(table, "_graft_meta")
 
@@ -75,15 +90,33 @@ object IcebergLite {
   /** Scan `files` under `snap`'s pinned schema. The explicit schema is what
     * makes [[addColumn]] evolution work: files written before the column
     * existed read it back as null (and a pre-evolution snapshot, pinning
-    * the old schema, never shows the column at all). */
+    * the old schema, never shows the column at all). Renamed columns are
+    * read under their PHYSICAL in-file name and aliased back to the
+    * snapshot's logical name ([[renameColumn]]). */
   private def readFiles(spark: SparkSession, snap: Snapshot,
                         files: Seq[FileEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    else if (snap.renames.isEmpty)
+      spark.read.schema(schema).parquet(files.map(_.path): _*)
+    else {
+      val physSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => f.copy(name = snap.physical(f.name))))
+      spark.read.schema(physSchema).parquet(files.map(_.path): _*)
+        .select(schema.fields.map(f => col(snap.physical(f.name)).as(f.name)).toSeq: _*)
+    }
   }
+
+  /** Rename a DataFrame's logical columns to the table's physical names
+    * before writing (identity when the table has no renames). */
+  private def toPhysical(df: DataFrame, table: String): DataFrame =
+    readSnapshot(table).filter(_.renames.nonEmpty) match {
+      case Some(snap) =>
+        df.select(df.columns.map(c => col(c).as(snap.physical(c))).toSeq: _*)
+      case None => df
+    }
 
   /**
    * Append `df` as a new snapshot (previous files retained). `statsCols`
@@ -101,9 +134,12 @@ object IcebergLite {
 
   /** Phase 1 of [[append]]: write the data files only (no snapshot yet).
     * Until [[commitWritten]] runs, the files are unreferenced — a crash here
-    * is invisible to readers, exactly the SAC_DONE re-scan semantics. */
+    * is invisible to readers, exactly the SAC_DONE re-scan semantics.
+    * Takes LOGICAL column names; renamed columns are stored under their
+    * stable physical names so every data file of the table is uniform. */
   def writeData(df: DataFrame, table: String, commitId: String): Unit =
-    df.write.mode("overwrite").parquet(Paths.get(table, "data", commitId).toString)
+    toPhysical(df, table).write.mode("overwrite")
+      .parquet(Paths.get(table, "data", commitId).toString)
 
   /**
    * Compaction (Iceberg's `rewrite_data_files`): read the current snapshot,
@@ -128,24 +164,36 @@ object IcebergLite {
     * files (a replacing commit — compaction / overwrite semantics). */
   def commitWritten(spark: SparkSession, schemaJson: String, table: String,
                     statsCols: Seq[String], commitId: String,
-                    keepPrev: Boolean = true): Snapshot = {
+                    keepPrev: Boolean = true,
+                    statsExprs: Map[String, (Column, Column)] = Map.empty): Snapshot = {
     val dataDir = Paths.get(table, "data", commitId)
-    // one-pass per-file stats
+    val prev = readSnapshot(table)
+    val phys = prev.map(s => s.physical _).getOrElse(identity[String] _)
+    // one-pass per-file stats; plain statsCols index the column itself,
+    // statsExprs carry (per-row lo, per-row hi) Columns for derived values
+    // — e.g. min/max over a nested array field, which prunes band-filter
+    // scans at the file level without any flat column materialized
+    val statNames = statsCols ++ statsExprs.keys.toSeq.sorted
     val statAggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).cast("string").as(s"min_$c"), max(col(c)).cast("string").as(s"max_$c")))
+      Seq(min(col(phys(c))).cast("string").as(s"min_$c"),
+        max(col(phys(c))).cast("string").as(s"max_$c"))) ++
+      statsExprs.toSeq.sortBy(_._1).flatMap { case (n, (lo, hi)) =>
+        Seq(min(lo).cast("string").as(s"min_$n"), max(hi).cast("string").as(s"max_$n"))
+      }
     val stats = spark.read.parquet(dataDir.toString)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), statAggs: _*)
       .collect()
     val entries = stats.map { r =>
       FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
-        statsCols.map(c => c -> String.valueOf(r.getAs[Any](s"min_$c"))).toMap,
-        statsCols.map(c => c -> String.valueOf(r.getAs[Any](s"max_$c"))).toMap)
+        statNames.map(c => c -> String.valueOf(r.getAs[Any](s"min_$c"))).toMap,
+        statNames.map(c => c -> String.valueOf(r.getAs[Any](s"max_$c"))).toMap)
     }.toSeq.sortBy(_.path)
 
     val parent = currentSnapshotId(table).getOrElse(-1L)
-    val prevFiles = if (keepPrev) readSnapshot(table).map(_.files).getOrElse(Nil) else Nil
-    commitSnapshot(table, Snapshot(parent + 1, parent, schemaJson, prevFiles ++ entries))
+    val prevFiles = if (keepPrev) prev.map(_.files).getOrElse(Nil) else Nil
+    commitSnapshot(table, Snapshot(parent + 1, parent, schemaJson,
+      prevFiles ++ entries, prev.map(_.renames).getOrElse(Map.empty)))
   }
 
   /** Write snapshot-N.json, then atomically swap CURRENT — the commit tail
@@ -175,32 +223,81 @@ object IcebergLite {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     require(!schema.fieldNames.contains(name), s"column $name already exists")
+    // the new column's physical name is its logical name — it must not
+    // collide with any physical name still present in data files (e.g. the
+    // pre-rename name of a renamed column), or old files' values would
+    // resurface under the new column
+    val usedPhysical = schema.fieldNames.map(snap.physical).toSet
+    require(!usedPhysical.contains(name),
+      s"column $name collides with the physical name of an existing column")
     val widened = schema.add(name, sqlType, nullable = true)
-    commitSnapshot(table, Snapshot(snap.id + 1, snap.id, widened.json, snap.files))
+    commitSnapshot(table, Snapshot(snap.id + 1, snap.id, widened.json, snap.files, snap.renames))
   }
 
-  /** Read the current snapshot, pruning files by numeric range predicates
-    * `col -> (lo, hi)` against manifest min/max (file skipped iff its range
-    * provably misses). */
-  def read(spark: SparkSession, table: String,
-           prune: Map[String, (Double, Double)] = Map.empty): DataFrame = {
+  /** Schema evolution: DROP COLUMN — a metadata-only commit (new snapshot,
+    * same files, narrowed schema). Data files keep the bytes; the pinned
+    * read schema simply stops projecting them, and time travel to a
+    * pre-drop snapshot still sees the column. O(1) at any table size. */
+  def dropColumn(table: String, name: String): Snapshot = {
+    import org.apache.spark.sql.types.{DataType, StructType}
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
-    val keep = snap.files.filter { f =>
-      prune.forall { case (c, (lo, hi)) =>
-        (f.min.get(c), f.max.get(c)) match {
-          case (Some(mn), Some(mx)) if mn != "null" && mx != "null" =>
-            !(mx.toDouble < lo || mn.toDouble > hi)
-          case _ => true
-        }
-      }
-    }
-    readFiles(spark, snap, keep)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name), s"no column $name")
+    val narrowed = StructType(schema.fields.filterNot(_.name == name))
+    require(narrowed.nonEmpty, "cannot drop the last column")
+    commitSnapshot(table, Snapshot(snap.id + 1, snap.id, narrowed.json,
+      snap.files, snap.renames - name))
   }
 
-  /** Files selected under pruning (for tests/metrics). */
-  def selectedFiles(table: String, prune: Map[String, (Double, Double)]): Seq[String] = {
-    val snap = readSnapshot(table).getOrElse(return Nil)
+  /** Schema evolution: RENAME COLUMN — a metadata-only commit. Data files
+    * keep the original (physical) column name; the snapshot records the
+    * logical→physical mapping and the read path aliases it back — the
+    * name-mapping equivalent of Iceberg's field-ID rename, O(1) at any
+    * table size. Appends after the rename write the physical name, so the
+    * table's files stay uniform. Time travel to a pre-rename snapshot sees
+    * the old name. */
+  def renameColumn(table: String, from: String, to: String): Snapshot = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(from), s"no column $from")
+    require(!schema.fieldNames.contains(to), s"column $to already exists")
+    val physicalName = snap.physical(from)
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commitSnapshot(table, Snapshot(snap.id + 1, snap.id, renamed.json,
+      snap.files, (snap.renames - from) + (to -> physicalName)))
+  }
+
+  /**
+   * MERGE (upsert): rows of `updates` replace current rows sharing their
+   * `keyCols` tuple; unmatched update rows are inserted — the ODC index
+   * sink's natural table form (idempotent dataset upsert), Iceberg's
+   * copy-on-write MERGE strategy. Unmatched CURRENT rows are rewritten
+   * untouched into one replacing commit, so the result is a single
+   * compacted snapshot; time travel to the pre-merge snapshot is intact.
+   * Re-issuing the SAME commitId (crash-retry) is a metadata-checked no-op.
+   * At 100 TB this is the strategy for dimension-sized tables (catalogs,
+   * indexes); fact tables take append + anti-join (Checkpoint) instead,
+   * and a merge-on-read variant would slot in at the readFiles layer.
+   */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+            keyCols: Seq[String], statsCols: Seq[String], commitId: String): Snapshot = {
+    val already = snapshots(table).exists(id => snapshotAt(table, id)
+      .exists(_.files.exists(_.path.contains(s"/data/$commitId/"))))
+    if (already) return readSnapshot(table).get
+    val cur = read(spark, table) // snapshot-pinned logical view
+    val aligned = updates.select(cur.columns.map(col).toSeq: _*)
+    val retained = cur.join(
+      updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    writeData(retained.unionByName(aligned), table, commitId)
+    commitWritten(spark, cur.schema.json, table, statsCols, commitId, keepPrev = false)
+  }
+
+  private def surviving(snap: Snapshot, prune: Map[String, (Double, Double)],
+                        pruneStr: Map[String, (String, String)]): Seq[FileEntry] =
     snap.files.filter { f =>
       prune.forall { case (c, (lo, hi)) =>
         (f.min.get(c), f.max.get(c)) match {
@@ -208,8 +305,33 @@ object IcebergLite {
             !(mx.toDouble < lo || mn.toDouble > hi)
           case _ => true
         }
+      } && pruneStr.forall { case (c, (lo, hi)) =>
+        (f.min.get(c), f.max.get(c)) match {
+          case (Some(mn), Some(mx)) if mn != "null" && mx != "null" =>
+            !(mx < lo || mn > hi) // lexicographic, same semantics
+          case _ => true
+        }
       }
-    }.map(_.path)
+    }
+
+  /** Read the current snapshot, pruning files against manifest min/max:
+    * `prune` takes numeric ranges, `pruneStr` lexicographic string ranges
+    * (a point lookup is `(v, v)` — e.g. a band-name filter against a
+    * nested-span stats entry). A file is skipped iff its recorded range
+    * PROVABLY misses; files without the stat are conservatively kept. */
+  def read(spark: SparkSession, table: String,
+           prune: Map[String, (Double, Double)] = Map.empty,
+           pruneStr: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    readFiles(spark, snap, surviving(snap, prune, pruneStr))
+  }
+
+  /** Files selected under pruning (for tests/metrics). */
+  def selectedFiles(table: String, prune: Map[String, (Double, Double)],
+                    pruneStr: Map[String, (String, String)] = Map.empty): Seq[String] = {
+    val snap = readSnapshot(table).getOrElse(return Nil)
+    surviving(snap, prune, pruneStr).map(_.path)
   }
 
   // --- minimal JSON (no external deps) -----------------------------------
@@ -225,7 +347,8 @@ object IcebergLite {
     val files = s.files.map(f =>
       s"""{"path":"${esc(f.path)}","rows":${f.rows},"min":${m(f.min)},"max":${m(f.max)}}""")
       .mkString("[", ",", "]")
-    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files}"""
+    val ren = if (s.renames.isEmpty) "" else s""","renames":${m(s.renames)}"""
+    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files$ren}"""
   }
 
   /** Tiny recursive-descent JSON parser for our own snapshot format. */
@@ -240,7 +363,9 @@ object IcebergLite {
         f("max").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
     }
     Snapshot(obj("id").asInstanceOf[Double].toLong, obj("parent").asInstanceOf[Double].toLong,
-      obj("schema").asInstanceOf[String], files)
+      obj("schema").asInstanceOf[String], files,
+      obj.get("renames").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty))
   }
 }
 

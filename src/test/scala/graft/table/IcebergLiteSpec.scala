@@ -110,6 +110,105 @@ class IcebergLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](IcebergLite.addColumn(t, "score", "double"))
   }
 
+  test("renameColumn: metadata-only, appends stay uniform, time travel sees old name") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0 until 30).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      t, Seq("k"), "c1")
+    val preRename = IcebergLite.currentSnapshotId(t).get
+    val filesBefore = IcebergLite.readSnapshot(t).get.files.map(_.path).toSet
+
+    IcebergLite.renameColumn(t, "v", "val")
+    // metadata-only: identical file list, no data rewritten
+    assert(IcebergLite.readSnapshot(t).get.files.map(_.path).toSet == filesBefore)
+    val renamed = IcebergLite.read(spark, t)
+    assert(renamed.schema.fieldNames.toSeq == Seq("k", "val"))
+    assert(renamed.where($"val" === "v7").count() == 1)
+
+    // append AFTER the rename: logical names in, physical names stored
+    IcebergLite.append(spark, (30 until 40).map(i => (i.toLong, s"v$i")).toDF("k", "val"),
+      t, Seq("k"), "c2")
+    val all = IcebergLite.read(spark, t)
+    assert(all.count() == 40)
+    assert(all.select(countDistinct($"val")).as[Long].head() == 40) // both eras readable
+    // physical uniformity: the new files really carry the ORIGINAL name
+    val newFiles = spark.read.parquet(s"$t/data/c2")
+    assert(newFiles.schema.fieldNames.contains("v"))
+
+    // time travel: pre-rename snapshot still shows the old name
+    assert(IcebergLite.readAt(spark, t, preRename).schema.fieldNames.toSeq == Seq("k", "v"))
+    // adding a column that collides with the retired PHYSICAL name refuses
+    intercept[IllegalArgumentException](IcebergLite.addColumn(t, "v", "string"))
+    // compaction keeps the mapping working (files rewritten under physical names)
+    IcebergLite.compact(spark, t, Seq("k"), "compact1")
+    val compacted = IcebergLite.read(spark, t)
+    assert(compacted.schema.fieldNames.toSeq == Seq("k", "val") && compacted.count() == 40)
+  }
+
+  test("dropColumn: metadata-only; time travel resurrects the column") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0 until 20).map(i => (i.toLong, s"v$i", i * 2)).toDF("k", "v", "w"),
+      t, Seq("k"), "c1")
+    val preDrop = IcebergLite.currentSnapshotId(t).get
+    val filesBefore = IcebergLite.readSnapshot(t).get.files.map(_.path).toSet
+    IcebergLite.dropColumn(t, "v")
+    assert(IcebergLite.readSnapshot(t).get.files.map(_.path).toSet == filesBefore)
+    assert(IcebergLite.read(spark, t).schema.fieldNames.toSeq == Seq("k", "w"))
+    assert(IcebergLite.readAt(spark, t, preDrop).where($"v" === "v3").count() == 1)
+    // drop of a renamed column clears its mapping too
+    IcebergLite.renameColumn(t, "w", "width")
+    IcebergLite.dropColumn(t, "width")
+    assert(IcebergLite.read(spark, t).schema.fieldNames.toSeq == Seq("k"))
+    assert(IcebergLite.readSnapshot(t).get.renames.isEmpty)
+  }
+
+  test("merge upsert: updates replace by key, inserts land, retry is a no-op") {
+    val t = tmpTable()
+    IcebergLite.append(spark,
+      (0 until 10).map(i => (i.toLong, s"old$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    val preMerge = IcebergLite.currentSnapshotId(t).get
+    val updates = Seq((3L, "NEW3"), (7L, "NEW7"), (100L, "NEW100")).toDF("k", "v")
+    IcebergLite.merge(spark, t, updates, Seq("k"), Seq("k"), "m1")
+    val got = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got.size == 11)
+    assert(got(3L) == "NEW3" && got(7L) == "NEW7" && got(100L) == "NEW100")
+    assert(got(4L) == "old4") // untouched rows rewritten intact
+    // crash-retry with the same commitId: metadata-checked no-op
+    IcebergLite.merge(spark, t, updates, Seq("k"), Seq("k"), "m1")
+    assert(IcebergLite.read(spark, t).count() == 11)
+    // pre-merge snapshot time-travels intact
+    assert(IcebergLite.readAt(spark, t, preMerge).as[(Long, String)]
+      .collect().toMap.apply(3L) == "old3")
+  }
+
+  test("nested-span stats (statsExprs) prune band-filter scans at the file level") {
+    val t = tmpTable()
+    // two commits with DISJOINT band vocabularies → two prunable file sets
+    def doc(id: Long, bands: Seq[String]) =
+      (id, bands.map(b => (("band", b, s"ref_$id$b", 0))))
+    val low = (0L until 20L).map(doc(_, Seq("B02", "B03", "B04"))).toDF("doc_id", "spans")
+    val high = (20L until 40L).map(doc(_, Seq("B08", "B11", "B12"))).toDF("doc_id", "spans")
+    val bandLo = expr("array_min(transform(spans, s -> s._2))")
+    val bandHi = expr("array_max(transform(spans, s -> s._2))")
+    IcebergLite.writeData(low.repartition(2), t, "c1")
+    IcebergLite.commitWritten(spark, low.schema.json, t, Seq("doc_id"), "c1",
+      statsExprs = Map("band" -> (bandLo, bandHi)))
+    IcebergLite.writeData(high.repartition(2), t, "c2")
+    IcebergLite.commitWritten(spark, high.schema.json, t, Seq("doc_id"), "c2",
+      statsExprs = Map("band" -> (bandLo, bandHi)))
+
+    val all = IcebergLite.selectedFiles(t, Map.empty).toSet
+    val b08 = IcebergLite.selectedFiles(t, Map.empty, Map("band" -> ("B08", "B08"))).toSet
+    assert(b08.nonEmpty && b08.subsetOf(all) && b08.size < all.size,
+      s"pruning skipped nothing: ${b08.size} of ${all.size}")
+    assert(b08.forall(_.contains("/data/c2/")), "kept a file that cannot contain B08")
+    // pruned read ≡ unpruned filter (completeness under pruning)
+    val prunedRows = IcebergLite.read(spark, t, Map.empty, Map("band" -> ("B08", "B08")))
+      .where(expr("exists(spans, s -> s._2 = 'B08')")).count()
+    val fullRows = IcebergLite.read(spark, t)
+      .where(expr("exists(spans, s -> s._2 = 'B08')")).count()
+    assert(prunedRows == fullRows && fullRows == 20)
+  }
+
   test("uncommitted data (no pointer swap) is invisible — crash atomicity") {
     val t = tmpTable()
     IcebergLite.append(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), "c1")
@@ -121,7 +220,8 @@ class IcebergLiteSpec extends AnyFunSuite {
   test("snapshot JSON roundtrip") {
     val s = IcebergLite.Snapshot(3, 2, """{"type":"struct"}""",
       Seq(IcebergLite.FileEntry("/a/b \"q\".parquet", 10,
-        Map("k" -> "-5"), Map("k" -> "42"))))
+        Map("k" -> "-5"), Map("k" -> "42"))),
+      renames = Map("val" -> "v"))
     val js = {
       // render via append path is file-bound; test parse on a hand render
       val m = classOf[IcebergLite.type].getDeclaredMethods
