@@ -109,6 +109,23 @@ object Plans {
         "task-serializes the model or its session)",
       capture(graft.SparkEntry.queries("ml_water")(spark, sfDir))))
 
+    // CoW MERGE rewrite: broadcast anti-join against the (small) update key
+    // set — the current table is rewritten in one pass, never shuffled on
+    // its own account. Captured as the rewrite DataFrame merge() writes
+    // (the committed read afterwards is a plain parquet scan).
+    val mergeTbl = java.nio.file.Files.createTempDirectory("graft_plans_merge").resolve("t").toString
+    val mergeBase = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    graft.table.IcebergLite.append(spark, mergeBase, mergeTbl, Seq("o_orderkey"), "c1")
+    val mergeUpd = mergeBase.where(col("o_orderkey") % 10 === 0)
+    val mergeCur = graft.table.IcebergLite.read(spark, mergeTbl)
+    sections += (("IcebergLite MERGE rewrite (the plan merge() writes)",
+      "update keys broadcast into the anti-join (no shuffle of the retained " +
+        "current-table side — at 100 TB the table streams through map-side); " +
+        "union with the update rows is exchange-free",
+      capture(mergeCur.join(mergeUpd.select(col("o_orderkey")).distinct(),
+        Seq("o_orderkey"), "left_anti").unionByName(mergeUpd))))
+
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.tools.Plans)\n\n")
     sections.foreach { case (title, why, plan) =>
