@@ -55,14 +55,20 @@ object Streams {
    */
   def appendToTable(df: DataFrame, base: String, stage: String, keyCol: String,
                     checkpointDir: String,
-                    onBatchCommitted: Long => Unit = _ => ()): Unit = {
+                    onBatchCommitted: Long => Unit = _ => (),
+                    dedupeKeys: Boolean = true): Unit = {
     val q = df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // dedupeKeys = false drops exactly-once layer 3 (checkpoint-loss
+        // recovery) and keeps layers 1-2 — the standard idempotent-by-
+        // batchId foreachBatch contract, at O(batch) instead of
+        // O(committed-table) per micro-batch (measured 9.2x → ~2x of a
+        // plain batch write at 5M events; tools.StreamScale)
         graft.run.Checkpoint.runStage(batch.sparkSession, base, stage, batch,
-          keyCol, f"b$batchId%06d")(identity)
+          keyCol, f"b$batchId%06d", dedupe = dedupeKeys)(identity)
         onBatchCommitted(batchId)
         (): Unit
       }
