@@ -30,8 +30,15 @@ object Fs {
     try {
       import scala.jdk.CollectionConverters._
       ls.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith(prefix) &&
-          p.getFileName.toString != keep.getFileName.toString)
+        .filter { p =>
+          val n = p.getFileName.toString
+          // ONLY names of the exact cache shape `<prefix><hex fingerprint>`
+          // are reapable: a looser startsWith(prefix) would also delete a
+          // concurrent session's live `<prefix><fp>_stage_<pid>` staging
+          // dir mid-write (ensureCatalog's rename race support)
+          n.startsWith(prefix) && n != keep.getFileName.toString &&
+            n.stripPrefix(prefix).matches("[0-9a-f]{1,16}")
+        }
         .toSeq // materialize before deleting (stream over a mutating dir)
         .foreach(p => try deleteRecursively(p) catch { case _: java.io.IOException => () })
     } finally ls.close()

@@ -111,6 +111,7 @@ object GeoTiff {
   }
 
   private def tilesAcross(n: Int, t: Int) = (n + t - 1) / t
+  private def pad4(n: Int): Int = (n + 3) & ~3
 
   private final case class Level(img: Image, tiles: Array[Array[Byte]],
                                  cols: Int, rows: Int)
@@ -147,18 +148,23 @@ object GeoTiff {
 
     // --- sizing pass: IFD byte layout is fully determined by tag counts ---
     val nodataAscii = (nodata.toString + "\u0000").getBytes("US-ASCII")
-    require(nodataAscii.length <= 4, "nodata ASCII must fit inline")
+    // ASCII values over 4 bytes go to the external value area (TIFF rule):
+    // nodata 0..999 packs inline, larger uint16 nodata stores externally
+    val nodataExt = if (nodataAscii.length > 4) pad4(nodataAscii.length) else 0
     def nTags(isOvr: Boolean) = (if (isOvr) 1 else 0) + 12 + (if (isOvr) 0 else 1)
     def ifdSize(isOvr: Boolean) = 2 + 12 * nTags(isOvr) + 4
-    def extSize(l: Level) = if (l.tiles.length > 1) 8 * l.tiles.length else 0
+    def extSize(l: Level, isOvr: Boolean) =
+      (if (l.tiles.length > 1) 8 * l.tiles.length else 0) + (if (isOvr) 0 else nodataExt)
 
     // header, then per level: IFD immediately followed by its external
-    // tile-offset/bytecount arrays (ascending IFD offsets, per validator)
+    // tile-offset/bytecount arrays (+ the main IFD's external nodata ASCII
+    // when it exceeds the inline field) — ascending IFD offsets, per
+    // validator
     val ifdOffsets = new Array[Long](levels.length)
     var pos = 8L
     levels.zipWithIndex.foreach { case (l, i) =>
       ifdOffsets(i) = pos
-      pos += ifdSize(i > 0) + extSize(l)
+      pos += ifdSize(i > 0) + extSize(l, i > 0)
     }
     // tile data: smallest overview first, main resolution LAST (COG order)
     val dataStart = pos
@@ -202,10 +208,14 @@ object GeoTiff {
           else l.tiles(0).length.toLong),
         (TSampleFormat, TypeShort, 1L, 1L))   // unsigned integer
       if (!isOvr) {
-        // GDAL_NODATA is ASCII; value packed inline (left-justified)
-        var inline = 0L
-        for (j <- nodataAscii.indices) inline |= (nodataAscii(j) & 0xFFL) << (8 * j)
-        entries :+= ((TGdalNodata, TypeAscii, nodataAscii.length.toLong, inline))
+        // GDAL_NODATA is ASCII; ≤4 bytes packs inline (left-justified),
+        // longer values point into the external area after the tile arrays
+        val v = if (nodataExt == 0) {
+          var inline = 0L
+          for (j <- nodataAscii.indices) inline |= (nodataAscii(j) & 0xFFL) << (8 * j)
+          inline
+        } else extBase + (if (l.tiles.length > 1) 8L * l.tiles.length else 0L)
+        entries :+= ((TGdalNodata, TypeAscii, nodataAscii.length.toLong, v))
       }
       w.u16(entries.length)
       entries.foreach { case (tag, tp, cnt, v) =>
@@ -217,6 +227,11 @@ object GeoTiff {
       if (l.tiles.length > 1) {
         tileOffsets(i).foreach(w.u32)
         l.tiles.foreach(t => w.u32(t.length.toLong))
+      }
+      if (!isOvr && nodataExt > 0) {
+        w.bytes(nodataAscii)
+        var p = nodataAscii.length
+        while (p < nodataExt) { w.out.write(0); p += 1 }
       }
     }
     for (i <- levels.indices.reverse) levels(i).tiles.foreach(w.bytes)
@@ -342,10 +357,16 @@ object GeoTiff {
   def decode(bytes: Array[Byte]): Decoded = {
     val (r, ifds) = readHeaderAndIfds(bytes)
     require(ifds.nonEmpty, "no IFD")
-    val nodata = ifds.head.tags.get(TGdalNodata).map { case (_, cnt, inline) =>
-      val s = (0L until math.min(cnt, 4L)).map(i => ((inline >> (8 * i)) & 0xFF).toChar)
-        .mkString.takeWhile(_ != '\u0000')
-      s.toInt
+    val nodata = ifds.head.tags.get(TGdalNodata).map { case (_, cnt, v) =>
+      // ≤4 ASCII bytes are inline in the value field; longer values sit in
+      // the external area at offset v
+      val chars =
+        if (cnt <= 4) (0L until cnt).map(i => ((v >> (8 * i)) & 0xFF).toChar)
+        else {
+          require(v + cnt <= r.b.length, "nodata value extends past EOF")
+          (0L until cnt).map(i => (r.b((v + i).toInt) & 0xFF).toChar)
+        }
+      chars.mkString.takeWhile(_ != '\u0000').toInt
     }
     Decoded(decodeIfd(r, ifds.head), ifds.tail.map(decodeIfd(r, _)), nodata)
   }

@@ -34,12 +34,13 @@ object Streams {
    * all available input (AvailableNow) and returns when the queue is empty.
    *
    * Exactly-once, layered:
-   *  1. each micro-batch commits under the DETERMINISTIC commitId
-   *     `b<batchId>`; a batch replayed after a crash (stream checkpoint not
-   *     yet advanced) hits [[graft.run.Checkpoint.runStage]]'s
-   *     already-committed guard and is skipped on METADATA alone (and the
-   *     lineage log is backfilled if the crash fell between the two
-   *     commits);
+   *  1. each micro-batch commits under the commitId `b<epoch>_<batchId>`
+   *     (epoch = a marker stored IN the checkpoint dir, so it survives
+   *     exactly as long as the offsets do); a batch replayed after a crash
+   *     (stream checkpoint not yet advanced) hits
+   *     [[graft.run.Checkpoint.runStage]]'s already-committed guard and is
+   *     skipped on METADATA alone (and the lineage log is backfilled if
+   *     the crash fell between the two commits);
    *  2. a crash mid-batch leaves data files with no snapshot pointer —
    *     invisible, simply redone;
    *  3. if the stream checkpoint itself is lost and offsets replay under
@@ -57,6 +58,15 @@ object Streams {
                     checkpointDir: String,
                     onBatchCommitted: Long => Unit = _ => (),
                     dedupeKeys: Boolean = true): Unit = {
+    // commitIds must be unique PER CHECKPOINT EPOCH: a lost/recreated
+    // checkpoint restarts batchIds at 0, and bare `b<batchId>` ids would
+    // collide with already-committed batches — the metadata guard would
+    // then silently DROP the new epoch's slices before the anti-join could
+    // dedup them. The epoch marker lives inside the checkpoint dir, so its
+    // lifetime is exactly the checkpoint's: crash-resume reuses it (replays
+    // dedup on metadata), checkpoint loss mints a new epoch (layer 3's
+    // anti-join takes over).
+    val epoch = checkpointEpoch(checkpointDir)
     val q = df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -68,12 +78,31 @@ object Streams {
         // O(committed-table) per micro-batch (measured 9.2x → ~2x of a
         // plain batch write at 5M events; tools.StreamScale)
         graft.run.Checkpoint.runStage(batch.sparkSession, base, stage, batch,
-          keyCol, f"b$batchId%06d", dedupe = dedupeKeys)(identity)
+          keyCol, f"b${epoch}_$batchId%06d", dedupe = dedupeKeys)(identity)
         onBatchCommitted(batchId)
         (): Unit
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Stable random identifier stored at `<checkpointDir>/_graft_epoch` —
+    * created on first use, reused on resume, gone (new epoch) iff the
+    * checkpoint itself is gone. Crash-safe via unique-temp + ATOMIC_MOVE. */
+  private def checkpointEpoch(checkpointDir: String): String = {
+    val dir = java.nio.file.Paths.get(checkpointDir)
+    val marker = dir.resolve("_graft_epoch")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve(s"._graft_epoch.${java.util.UUID.randomUUID}.tmp")
+      java.nio.file.Files.writeString(tmp,
+        java.util.UUID.randomUUID.toString.replace("-", "").take(12))
+      try java.nio.file.Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp) // concurrent creator won
+      }
+    }
+    java.nio.file.Files.readString(marker).trim
   }
 
   /** Tumbling event-time window counts with watermark (late data beyond

@@ -223,15 +223,27 @@ object IcebergLite {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     require(!schema.fieldNames.contains(name), s"column $name already exists")
-    // the new column's physical name is its logical name — it must not
-    // collide with any physical name still present in data files (e.g. the
-    // pre-rename name of a renamed column), or old files' values would
-    // resurface under the new column
-    val usedPhysical = schema.fieldNames.map(snap.physical).toSet
-    require(!usedPhysical.contains(name),
-      s"column $name collides with the physical name of an existing column")
+    // The new column's default physical name is its logical name — but if
+    // that physical name was EVER used by this table (current columns, or
+    // a column since renamed/dropped whose bytes remain in retained data
+    // files), reusing it would RESURRECT the old values instead of
+    // null-backfilling. Mint a fresh physical name instead — the same
+    // effect Iceberg gets from never reusing field IDs. The scan is
+    // metadata-only (historical snapshot schemas, no file reads).
+    val historicalPhysical = snapshots(table).flatMap(id =>
+      snapshotAt(table, id).toSeq.flatMap { s =>
+        val sch = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+        sch.fieldNames.map(s.physical).toSeq
+      }).toSet
     val widened = schema.add(name, sqlType, nullable = true)
-    commitSnapshot(table, Snapshot(snap.id + 1, snap.id, widened.json, snap.files, snap.renames))
+    val newRenames =
+      if (!historicalPhysical.contains(name)) snap.renames
+      else {
+        var v = snap.id + 1
+        while (historicalPhysical.contains(s"${name}__v$v")) v += 1
+        snap.renames + (name -> s"${name}__v$v")
+      }
+    commitSnapshot(table, Snapshot(snap.id + 1, snap.id, widened.json, snap.files, newRenames))
   }
 
   /** Schema evolution: DROP COLUMN — a metadata-only commit (new snapshot,
@@ -290,6 +302,12 @@ object IcebergLite {
     if (already) return readSnapshot(table).get
     val cur = read(spark, table) // snapshot-pinned logical view
     val aligned = updates.select(cur.columns.map(col).toSeq: _*)
+    // duplicate keys inside one update batch make "upsert" ambiguous and
+    // would land MULTIPLE rows per key — refuse loudly. One extra agg over
+    // the updates side only (small by the CoW-merge design).
+    val dups = updates.groupBy(keyCols.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dups == 0, s"merge updates contain duplicate ${keyCols.mkString(",")} keys")
     val retained = cur.join(
       updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
     writeData(retained.unionByName(aligned), table, commitId)

@@ -102,5 +102,10 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(d.main.pixels.sameElements(px))
     val d2 = GeoTiff.decode(GeoTiff.encode(10, 10, px, nodata = 999, tileSize = 16))
     assert(d2.nodata.contains(999))
+    // >4 ASCII bytes: GDAL_NODATA stored in the external value area
+    val big = GeoTiff.encode(10, 10, px, nodata = 65535, tileSize = 16, overviewLevels = 1)
+    val d3 = GeoTiff.decode(big)
+    assert(d3.nodata.contains(65535) && d3.main.pixels.sameElements(px))
+    assert(GeoTiff.validateCog(big).isEmpty)
   }
 }

@@ -129,6 +129,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(graft.run.Checkpoint.committed(spark, base, "ingest").count() == 400)
   }
 
+  test("durable sink survives CHECKPOINT LOSS: new epoch commitIds + anti-join, no loss, no dupes") {
+    val in = java.nio.file.Files.createTempDirectory("graft_ckloss_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckloss_ck").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_ckloss_tbl").toString
+    val first = (0L until 200L).map(k => (k, s"v$k"))
+    first.toDF("k", "v").repartition(2).write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def stream = Streams.parquetStream(spark, in, schema, Map("maxFilesPerTrigger" -> "1"))
+    Streams.appendToTable(stream, base, "ingest", "k", ckpt)
+    assert(graft.run.Checkpoint.committed(spark, base, "ingest").count() == 200)
+
+    // LOSE the checkpoint entirely; new data arrives; restart at same path.
+    // BatchIds restart at 0 — without epoch-scoped commitIds the metadata
+    // guard would treat the new batch 0 as already committed and silently
+    // DROP it; with the epoch the replayed old files dedup via the
+    // anti-join and the new rows land exactly once.
+    graft.Fs.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    val extra = (200L until 300L).map(k => (k, s"v$k"))
+    extra.toDF("k", "v").coalesce(1).write.mode("append").parquet(in)
+    Streams.appendToTable(stream, base, "ingest", "k", ckpt)
+    val got = graft.run.Checkpoint.committed(spark, base, "ingest")
+      .select($"k", $"v").as[(Long, String)].collect()
+    assert(got.length == 300, s"checkpoint loss lost/duplicated rows: ${got.length}")
+    assert(got.toSet == (first ++ extra).toSet)
+  }
+
   test("durable sink without key dedupe: batchId replay still exactly-once via metadata guard") {
     val in = java.nio.file.Files.createTempDirectory("graft_durable2_in").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_durable2_ck").toString

@@ -136,8 +136,15 @@ class IcebergLiteSpec extends AnyFunSuite {
 
     // time travel: pre-rename snapshot still shows the old name
     assert(IcebergLite.readAt(spark, t, preRename).schema.fieldNames.toSeq == Seq("k", "v"))
-    // adding a column that collides with the retired PHYSICAL name refuses
-    intercept[IllegalArgumentException](IcebergLite.addColumn(t, "v", "string"))
+    // adding a column whose name equals the RETIRED physical name mints a
+    // fresh physical name — the old files' bytes must NOT resurface
+    IcebergLite.addColumn(t, "v", "string")
+    val withNew = IcebergLite.read(spark, t)
+    assert(withNew.schema.fieldNames.toSeq == Seq("k", "val", "v"))
+    assert(withNew.where($"v".isNotNull).count() == 0,
+      "retired physical column resurrected under the re-added name")
+    assert(withNew.where($"val".isNotNull).count() == 40)
+    IcebergLite.dropColumn(t, "v")
     // compaction keeps the mapping working (files rewritten under physical names)
     IcebergLite.compact(spark, t, Seq("k"), "compact1")
     val compacted = IcebergLite.read(spark, t)
@@ -159,6 +166,15 @@ class IcebergLiteSpec extends AnyFunSuite {
     IcebergLite.dropColumn(t, "width")
     assert(IcebergLite.read(spark, t).schema.fieldNames.toSeq == Seq("k"))
     assert(IcebergLite.readSnapshot(t).get.renames.isEmpty)
+    // drop then re-add the SAME name: null backfill, never resurrection
+    IcebergLite.addColumn(t, "v", "string")
+    val readded = IcebergLite.read(spark, t)
+    assert(readded.where($"v".isNotNull).count() == 0,
+      "dropped column's data resurfaced after re-adding its name")
+    // and new appends land under the fresh physical name, readable as v
+    IcebergLite.append(spark,
+      (100L until 105L).map(k => (k, s"new$k")).toDF("k", "v"), t, Seq("k"), "c2")
+    assert(IcebergLite.read(spark, t).where($"v".isNotNull).count() == 5)
   }
 
   test("merge upsert: updates replace by key, inserts land, retry is a no-op") {
@@ -178,6 +194,13 @@ class IcebergLiteSpec extends AnyFunSuite {
     // pre-merge snapshot time-travels intact
     assert(IcebergLite.readAt(spark, t, preMerge).as[(Long, String)]
       .collect().toMap.apply(3L) == "old3")
+    // duplicate keys within one update batch make the upsert ambiguous —
+    // refuse instead of landing multiple rows per key
+    intercept[IllegalArgumentException] {
+      IcebergLite.merge(spark, t, Seq((5L, "X"), (5L, "Y")).toDF("k", "v"),
+        Seq("k"), Seq("k"), "m2")
+    }
+    assert(IcebergLite.read(spark, t).count() == 11) // refused merge left no trace
   }
 
   test("nested-span stats (statsExprs) prune band-filter scans at the file level") {
