@@ -60,6 +60,9 @@ object SparkEntry {
     "txt_lang" -> ((s, d) => TrainQueries.txtLang(s, d)),
     "txt_fingerprint" -> ((s, d) => TrainQueries.txtFingerprint(s, d)),
     "txt_tokens" -> ((s, d) => TrainQueries.txtTokens(s, d)),
+    // the COMPOSED pipeline: lang filter → token filter → exact dedup →
+    // survivor token budgets, ids-only through the dedup exchange
+    "pipe_corpus" -> ((s, d) => TrainQueries.pipeCorpus(s, d)),
     "ann_topk" -> ((s, d) => TrainQueries.annTopK(s, d)),
     "ann_lsh" -> ((s, d) => TrainQueries.annLsh(s, d)),
     "ann_neardup" -> ((s, d) => TrainQueries.annNearDup(s, d)),
@@ -348,6 +351,23 @@ object SparkEntry {
          |       ${graft.text.TextOps.tokenCountSql("text")} AS n_ws_tokens,
          |       ${graft.text.TextOps.bpeTokenCountSql("text")} AS n_bpe_tokens
          |FROM documents""".stripMargin,
+    "pipe_corpus" ->
+      s"""WITH d2 AS (SELECT doc_id, text FROM documents
+         |            UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |         ${graft.text.TextOps.langIdSql("text")} AS lang_pred,
+         |         ${graft.text.TextOps.tokenCountSql("text")} AS n_tokens,
+         |         ${graft.text.TextOps.bpeTokenCountSql("text")} AS n_bpe_tokens,
+         |         md5(text) AS fp
+         |  FROM d2),
+         |filtered AS (SELECT * FROM scored
+         |             WHERE lang_pred = 'en' AND n_tokens >= 20),
+         |keepers AS (SELECT fp, min(doc_id) AS doc_id,
+         |                   cast(count(*) AS bigint) AS n_copies
+         |            FROM filtered GROUP BY fp)
+         |SELECT k.doc_id, k.fp, k.n_copies, f.lang_pred, f.n_tokens, f.n_bpe_tokens
+         |FROM keepers k JOIN filtered f USING (doc_id)""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id,
         |           list_transform(embedding, x -> floor(cast(x AS double) * 1024)) AS qe
@@ -841,6 +861,28 @@ object TrainQueries {
     docs(s, d).select(col("doc_id"),
       TextOps.tokenCount(col("text")).as("n_ws_tokens"),
       TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  /** The composed training-data pipeline as ONE flow (the engine's reason
+    * for existing at 100 TB): language-ID filter → token-budget filter →
+    * exact-content dedup (keeper = min doc_id) → per-survivor token
+    * budgets. Shuffle discipline: the dedup exchange carries (fp, doc_id)
+    * ONLY — every text-derived column re-joins by id afterwards. The
+    * corpus is doubled (like dd_exact) so the dedup stage provably
+    * removes rows. */
+  def pipeCorpus(s: SparkSession, d: String): DataFrame = {
+    val doubled = docs(s, d).select(col("doc_id"), col("text"))
+      .unionByName(docs(s, d).select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val base = doubled
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .withColumn("n_bpe_tokens", TextOps.bpeTokenCount(col("text")))
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .where(col("lang_pred") === "en" && col("n_tokens") >= 20)
+    val keepers = base.select("fp", "doc_id")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    keepers.join(base.drop("fp"), Seq("doc_id"))
+      .select("doc_id", "fp", "n_copies", "lang_pred", "n_tokens", "n_bpe_tokens")
+  }
 
   def annTopK(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
