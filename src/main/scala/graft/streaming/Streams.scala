@@ -128,6 +128,16 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Session-window counts (gap-based — the third window family): events
+    * of a key closer than `gap` merge into one session. Runs batch or
+    * streaming (add a watermark upstream for streaming state cleanup). */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String): DataFrame =
+    events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .groupBy(session_window(col(tsCol), gap).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"))
+
   /** Streaming flagship: continuous tile assignment over a scene-doc stream.
     * The geometric assignment (cell-cover explode + broadcast equi-join +
     * refine) is STATELESS and the tile grid is a static dimension, so it

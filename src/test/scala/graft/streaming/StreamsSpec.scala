@@ -129,6 +129,21 @@ class StreamsSpec extends AnyFunSuite {
     assert(graft.run.Checkpoint.committed(spark, base, "ingest").count() == 400)
   }
 
+  test("session windows: events within the gap merge, a larger gap splits sessions") {
+    def t(min: Int, sec: Int = 0) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
+    // key "a": 10:00, 10:03, 10:06 (gaps 3min < 5min → ONE session 10:00-10:11),
+    // then 10:20 (gap 14min → a second session); key "b": one event
+    val events = Seq((t(0), "a"), (t(3), "a"), (t(6), "a"), (t(20), "a"), (t(2), "b"))
+      .toDF("ts", "event_type")
+    val got = Streams.sessionCounts(events, "ts", "5 minutes")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long)].collect()
+      .map { case (s, e, k, n) => (s, e, k, n) }.toSet
+    assert(got == Set(
+      (t(0), t(11), "a", 3L),  // session end = last event + gap
+      (t(20), t(25), "a", 1L),
+      (t(2), t(7), "b", 1L)))
+  }
+
   test("durable sink survives CHECKPOINT LOSS: new epoch commitIds + anti-join, no loss, no dupes") {
     val in = java.nio.file.Files.createTempDirectory("graft_ckloss_in").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckloss_ck").toString
