@@ -101,12 +101,18 @@ object Bench {
       val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8")
         .split(",").map(_.trim.toInt).toSeq
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "9").toInt
-      // INTERLEAVED measurement: warm each level once, then alternate
+      // INTERLEAVED measurement: warm each level TWICE, then alternate
       // N,4N,N,4N,… so turbo/thermal and page-cache states are symmetric
-      // between the levels instead of favoring whichever ran second.
+      // between the levels instead of favoring whichever ran second. Two
+      // warmups per level because a single pass leaves residual JIT/cache
+      // warm-in visible as a monotone wall drift through the first
+      // measured block (observed: 4N walls 15.9 → 12.8 s across one run
+      // after a single warmup).
       var rows = 0L
-      levels.foreach { c =>
-        val s = session(c); timed { rows = tileAssignJob(s, corpus) }; s.stop()
+      (1 to 2).foreach { _ =>
+        levels.foreach { c =>
+          val s = session(c); timed { rows = tileAssignJob(s, corpus) }; s.stop()
+        }
       }
       val wallsByLevel = scala.collection.mutable.Map(levels.map(_ -> Vector.empty[Double]): _*)
       (1 to reps).foreach { _ =>
