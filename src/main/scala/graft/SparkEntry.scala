@@ -64,6 +64,8 @@ object SparkEntry {
     // survivor token budgets, ids-only through the dedup exchange
     "pipe_corpus" -> ((s, d) => TrainQueries.pipeCorpus(s, d)),
     "ann_topk" -> ((s, d) => TrainQueries.annTopK(s, d)),
+    // int8 STORED quantization ANN (4× embedding memory reduction)
+    "ann_q8" -> ((s, d) => TrainQueries.annQ8(s, d)),
     "ann_lsh" -> ((s, d) => TrainQueries.annLsh(s, d)),
     "ann_neardup" -> ((s, d) => TrainQueries.annNearDup(s, d)),
     "ann_ivf" -> ((s, d) => TrainQueries.annIvf(s, d)),
@@ -375,6 +377,20 @@ object SparkEntry {
         |cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
         |                cast(list_dot_product(p.qe, c.qe) AS bigint) AS dot
         |         FROM q p JOIN q c ON p.vec_id < 100 AND p.vec_id <> c.vec_id)
+        |SELECT probe_id, rank, neighbor_id, dot FROM (
+        |  SELECT probe_id, neighbor_id, dot,
+        |         row_number() OVER (PARTITION BY probe_id
+        |                            ORDER BY dot DESC, neighbor_id) AS rank
+        |  FROM cand) WHERE rank <= 3""".stripMargin,
+    "ann_q8" ->
+      """WITH q AS (SELECT vec_id,
+        |           list_transform(embedding,
+        |             x -> cast(greatest(-127.0, least(127.0,
+        |                    floor(cast(x AS double) * 127 + 0.5))) AS integer)) AS qe
+        |           FROM embeddings),
+        |cand AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |                cast(list_dot_product(p.qe, c.qe) AS bigint) AS dot
+        |         FROM q p JOIN q c ON p.vec_id < 50 AND p.vec_id <> c.vec_id)
         |SELECT probe_id, rank, neighbor_id, dot FROM (
         |  SELECT probe_id, neighbor_id, dot,
         |         row_number() OVER (PARTITION BY probe_id
@@ -887,6 +903,13 @@ object TrainQueries {
   def annTopK(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     Ann.quantizedDotTopK(e.where(col("vec_id") < 100), e, k = 3)
+  }
+
+  /** Stored-int8 ANN: the corpus quantized to array<tinyint> (4× smaller
+    * than float32 at rest and in cache), exact integer dot, top-k. */
+  def annQ8(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Ann.i8TopK(e.where(col("vec_id") < 50), e, k = 3)
   }
 
   def annLsh(s: SparkSession, d: String): DataFrame = {

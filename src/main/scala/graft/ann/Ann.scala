@@ -76,6 +76,40 @@ object Ann {
     GraftShims.column(QuantizedDot(GraftShims.expression(a), GraftShims.expression(b)))
   }
 
+  /** Symmetric int8 quantization: clamp(⌊127·x + 0.5⌋, −127, 127) — the
+    * STORED embedding form that shrinks a float32 corpus 4× (the lever
+    * that turns a 100 TB embedding store into 25 TB and quadruples
+    * cache-resident corpus per executor). ⌊·+0.5⌋ instead of round():
+    * identical IEEE double ops on both engines, so the oracle is bit-exact
+    * without depending on a half-even-vs-half-up rounding convention. */
+  def quantizeI8(e: Column): Column =
+    transform(e, x =>
+      greatest(lit(-127.0), least(lit(127.0), floor(x.cast("double") * 127 + 0.5)))
+        .cast("tinyint"))
+
+  /** Exact integer dot over stored-int8 embeddings (widen per element —
+    * 127²·dim fits int32 far beyond any real dim). */
+  def i8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
+      lit(0), (acc, v) => acc + v)
+
+  /** Top-k by stored-int8 dot: the corpus is quantized ONCE (in production:
+    * written as the array<tinyint> storage column), probes broadcast, and
+    * candidates reduced map-side by [[TopKAgg]] like every ANN path. */
+  def i8TopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"),
+      quantizeI8(col("embedding")).as("pq")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      quantizeI8(col("embedding")).as("cq"))
+    val agg = udaf(new TopKAgg(k))
+    explodeTopK(
+      c.join(p, col("probe_id") =!= col("neighbor_id"))
+        .withColumn("dot", i8Dot(col("pq"), col("cq")).cast("double"))
+        .groupBy("probe_id").agg(agg(col("dot"), col("neighbor_id")).as("top")),
+      "dot")
+      .withColumn("dot", col("dot").cast("long"))
+  }
+
   /** Unpack a TopKAgg result column into (rank, neighbor_id, score) rows. */
   private[ann] def explodeTopKPairs(df: DataFrame, scoreName: String): DataFrame =
     explodeTopK(df, scoreName)

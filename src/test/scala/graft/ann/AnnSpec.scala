@@ -66,6 +66,30 @@ class AnnSpec extends AnyFunSuite {
     both.foreach { case (id, u, e) => assert(u == e, s"vec $id: $u vs $e") }
   }
 
+  test("int8 stored quantization: range-clamped, and i8TopK ≡ a scalar twin") {
+    val data = embs.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def q8(e: Seq[Float]): Seq[Int] =
+      e.map(x => math.max(-127.0, math.min(127.0, math.floor(x.toDouble * 127 + 0.5))).toInt)
+    // quantized column is in int8 range and matches the scalar rule
+    val qCol = embs.select($"vec_id", Ann.quantizeI8($"embedding").as("q"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    data.foreach { case (id, e) =>
+      assert(qCol(id).map(_.toInt) == q8(e), s"vec $id quantization")
+      assert(qCol(id).forall(b => b >= -127 && b <= 127))
+    }
+    val got = Ann.i8TopK(embs.where($"vec_id" < 10), embs, k = 3)
+      .select($"probe_id", $"rank", $"neighbor_id", $"dot")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    val byId = data.toMap
+    (0L until 10L).foreach { p =>
+      val expected = data.filter(_._1 != p)
+        .map { case (id, e) => (id, q8(byId(p)).zip(q8(e)).map { case (a, b) => a.toLong * b }.sum) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).toSeq
+      assert(got(p) == expected, s"probe $p")
+    }
+  }
+
   test("native kernels reject non-float arrays at analysis (no silent memory misread)") {
     // array<double> through getFloat would silently read garbage — the type
     // check must fail the query at analysis time instead
