@@ -34,7 +34,18 @@ import scala.jdk.CollectionConverters._
  */
 object IcebergLite {
 
-  case class FileEntry(path: String, rows: Long, min: Map[String, String], max: Map[String, String])
+  /** `seq` = id of the snapshot whose commit added the file — equality
+    * deletes ([[mergeOnRead]]) apply only to files with a LOWER seq, the
+    * sequence-number scoping real Iceberg v2 uses. Old manifests parse with
+    * seq 0 (every delete applies — the conservative reading). */
+  case class FileEntry(path: String, rows: Long, min: Map[String, String],
+                       max: Map[String, String], seq: Long = 0L)
+
+  /** An equality-delete file: parquet of key tuples (PHYSICAL column names
+    * `keys`) at `path`, committed at snapshot `seq`. A data row is deleted
+    * iff its key tuple appears in a delete file with seq > the row's file
+    * seq. */
+  case class DeleteEntry(path: String, seq: Long, keys: Seq[String])
 
   /** `renames` maps LOGICAL column name → PHYSICAL (in-file) column name
     * for fields whose logical name has diverged via [[renameColumn]] —
@@ -42,7 +53,8 @@ object IcebergLite {
     * always store physical names; reads substitute physical names into the
     * pinned schema and alias back; renames are O(1) metadata commits. */
   case class Snapshot(id: Long, parent: Long, schemaJson: String, files: Seq[FileEntry],
-                      renames: Map[String, String] = Map.empty) {
+                      renames: Map[String, String] = Map.empty,
+                      deletes: Seq[DeleteEntry] = Nil) {
     def physical(logical: String): String = renames.getOrElse(logical, logical)
   }
 
@@ -87,14 +99,38 @@ object IcebergLite {
     readFiles(spark, snap, snap.files)
   }
 
-  /** Scan `files` under `snap`'s pinned schema. The explicit schema is what
-    * makes [[addColumn]] evolution work: files written before the column
-    * existed read it back as null (and a pre-evolution snapshot, pinning
-    * the old schema, never shows the column at all). Renamed columns are
-    * read under their PHYSICAL in-file name and aliased back to the
-    * snapshot's logical name ([[renameColumn]]). */
+  /** Scan `files` under `snap`'s pinned schema, applying the snapshot's
+    * equality deletes ([[mergeOnRead]]). Files are grouped by commit seq;
+    * each group anti-joins the delete files committed AFTER it (delete seq
+    * > file seq) — a group with no applicable deletes scans clean, so a
+    * compacted or CoW-maintained table pays zero merge cost at read. The
+    * explicit schema is what makes [[addColumn]] evolution work: files
+    * written before the column existed read it back as null (and a
+    * pre-evolution snapshot, pinning the old schema, never shows the column
+    * at all). Renamed columns are read under their PHYSICAL in-file name
+    * and aliased back to the snapshot's logical name ([[renameColumn]]).
+    * Dropping a column that is still a pending delete key is unsupported
+    * (compact first). */
   private def readFiles(spark: SparkSession, snap: Snapshot,
                         files: Seq[FileEntry]): DataFrame = {
+    def applicable(seq: Long) = snap.deletes.filter(_.seq > seq)
+    if (snap.deletes.isEmpty || files.forall(f => applicable(f.seq).isEmpty))
+      readFilesRaw(spark, snap, files)
+    else {
+      val invRenames = snap.renames.map(_.swap)
+      files.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, fs) =>
+        applicable(seq).foldLeft(readFilesRaw(spark, snap, fs)) { (df, d) =>
+          val logicalKeys = d.keys.map(pk => invRenames.getOrElse(pk, pk))
+          val keys = spark.read.parquet(d.path).select(
+            d.keys.zip(logicalKeys).map { case (p, l) => col(p).as(l) }.toSeq: _*)
+          df.join(keys, logicalKeys, "left_anti")
+        }
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  private def readFilesRaw(spark: SparkSession, snap: Snapshot,
+                           files: Seq[FileEntry]): DataFrame = {
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     if (files.isEmpty)
@@ -165,7 +201,9 @@ object IcebergLite {
   def commitWritten(spark: SparkSession, schemaJson: String, table: String,
                     statsCols: Seq[String], commitId: String,
                     keepPrev: Boolean = true,
-                    statsExprs: Map[String, (Column, Column)] = Map.empty): Snapshot = {
+                    statsExprs: Map[String, (Column, Column)] = Map.empty,
+                    carryFiles: Seq[FileEntry] = Nil,
+                    carryDeletes: Seq[DeleteEntry] = Nil): Snapshot = {
     val dataDir = Paths.get(table, "data", commitId)
     val prev = readSnapshot(table)
     val phys = prev.map(s => s.physical _).getOrElse(identity[String] _)
@@ -184,16 +222,23 @@ object IcebergLite {
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), statAggs: _*)
       .collect()
+    val parent = currentSnapshotId(table).getOrElse(-1L)
     val entries = stats.map { r =>
       FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
         statNames.map(c => c -> String.valueOf(r.getAs[Any](s"min_$c"))).toMap,
-        statNames.map(c => c -> String.valueOf(r.getAs[Any](s"max_$c"))).toMap)
+        statNames.map(c => c -> String.valueOf(r.getAs[Any](s"max_$c"))).toMap,
+        seq = parent + 1)
     }.toSeq.sortBy(_.path)
 
-    val parent = currentSnapshotId(table).getOrElse(-1L)
+    // keepPrev carries the whole previous state (append); a replacing commit
+    // carries only what the caller vouches for: carryFiles — prior entries
+    // kept BY REFERENCE (file-targeted merge) — and carryDeletes, the
+    // equality deletes still pending against those carried files
     val prevFiles = if (keepPrev) prev.map(_.files).getOrElse(Nil) else Nil
+    val prevDeletes = if (keepPrev) prev.map(_.deletes).getOrElse(Nil) else Nil
     commitSnapshot(table, Snapshot(parent + 1, parent, schemaJson,
-      prevFiles ++ entries, prev.map(_.renames).getOrElse(Map.empty)))
+      prevFiles ++ carryFiles ++ entries, prev.map(_.renames).getOrElse(Map.empty),
+      prevDeletes ++ carryDeletes))
   }
 
   /** Write snapshot-N.json, then atomically swap CURRENT — the commit tail
@@ -286,32 +331,123 @@ object IcebergLite {
   /**
    * MERGE (upsert): rows of `updates` replace current rows sharing their
    * `keyCols` tuple; unmatched update rows are inserted — the ODC index
-   * sink's natural table form (idempotent dataset upsert), Iceberg's
-   * copy-on-write MERGE strategy. Unmatched CURRENT rows are rewritten
-   * untouched into one replacing commit, so the result is a single
-   * compacted snapshot; time travel to the pre-merge snapshot is intact.
-   * Re-issuing the SAME commitId (crash-retry) is a metadata-checked no-op.
-   * At 100 TB this is the strategy for dimension-sized tables (catalogs,
-   * indexes); fact tables take append + anti-join (Checkpoint) instead,
-   * and a merge-on-read variant would slot in at the readFiles layer.
+   * sink's natural table form (idempotent dataset upsert,
+   * `utils/dataset_index_from_s3_bucket.py:41-131` — per-dataset, never
+   * whole-index), Iceberg's copy-on-write MERGE strategy.
+   *
+   * FILE-TARGETED: only files whose manifest key min/max intersects the
+   * update batch's key range are rewritten; every provably-disjoint file is
+   * carried BY REFERENCE into the new snapshot (same path, same bytes). A
+   * daily upsert of 0.1% of a 100 TB table therefore rewrites only the
+   * files holding those keys, not the table — cost scales with touched
+   * files (tools.MergeScale measures this). Files lacking key stats are
+   * conservatively rewritten; the rewrite commit always collects stats for
+   * `keyCols`, so any table maintained by merge becomes prunable even if
+   * its original appends never indexed the keys.
+   *
+   * One probe job over the (small) updates side computes BOTH the
+   * duplicate-key refusal (duplicate keys in one batch make "upsert"
+   * ambiguous) and the per-key-column ranges that drive the pruning — the
+   * old separate duplicate-count action is folded in, so the check is free.
+   * Re-issuing the SAME commitId (crash-retry) is a metadata-checked no-op;
+   * time travel to the pre-merge snapshot is intact. Fact-table streams
+   * still take append + anti-join (Checkpoint); [[mergeOnRead]] is the
+   * write-cheap/read-cost variant of the same contract.
    */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             keyCols: Seq[String], statsCols: Seq[String], commitId: String): Snapshot = {
     val already = snapshots(table).exists(id => snapshotAt(table, id)
       .exists(_.files.exists(_.path.contains(s"/data/$commitId/"))))
     if (already) return readSnapshot(table).get
-    val cur = read(spark, table) // snapshot-pinned logical view
-    val aligned = updates.select(cur.columns.map(col).toSeq: _*)
-    // duplicate keys inside one update batch make "upsert" ambiguous and
-    // would land MULTIPLE rows per key — refuse loudly. One extra agg over
-    // the updates side only (small by the CoW-merge design).
-    val dups = updates.groupBy(keyCols.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dups == 0, s"merge updates contain duplicate ${keyCols.mkString(",")} keys")
-    val retained = cur.join(
-      updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    val probeAggs = Seq(
+      count(lit(1)).as("__n"),
+      // struct() so tuples containing nulls still count as distinct values
+      countDistinct(struct(keyCols.map(col): _*)).as("__nd")) ++
+      keyCols.flatMap(c => Seq(min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))
+    val pr = updates.agg(probeAggs.head, probeAggs.tail: _*).collect()(0)
+    require(pr.getAs[Long]("__n") == pr.getAs[Long]("__nd"),
+      s"merge updates contain duplicate ${keyCols.mkString(",")} keys")
+    val numericKey = keyCols.map(c => c -> schema.fields.find(_.name == c)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])).toMap
+    val range = keyCols.flatMap { c =>
+      (Option(pr.getAs[String](s"__min_$c")), Option(pr.getAs[String](s"__max_$c"))) match {
+        case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+        case _ => None // all-null key column in updates: no range to prune on
+      }
+    }.toMap
+    // a file can hold a matched key tuple only if EVERY key column's stored
+    // range overlaps the batch range — one provably-disjoint column clears it
+    def disjoint(f: FileEntry, c: String): Boolean =
+      (f.min.get(c), f.max.get(c), range.get(c)) match {
+        case (Some(mn), Some(mx), Some((lo, hi))) if mn != "null" && mx != "null" =>
+          if (numericKey(c)) mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble
+          else mx < lo || mn > hi
+        case _ => false // stat or range missing: conservatively touched
+      }
+    val (carried, touched) = snap.files.partition(f => keyCols.exists(disjoint(f, _)))
+    val retained = readFiles(spark, snap, touched) // applies pending deletes
+      .join(aligned.select(keyCols.map(col): _*), keyCols, "left_anti")
     writeData(retained.unionByName(aligned), table, commitId)
-    commitWritten(spark, cur.schema.json, table, statsCols, commitId, keepPrev = false)
+    commitWritten(spark, snap.schemaJson, table, (statsCols ++ keyCols).distinct,
+      commitId, keepPrev = false, carryFiles = carried,
+      // carried files were not rewritten, so deletes pending against them
+      // must survive the commit; deletes with no carried target are dropped
+      carryDeletes = snap.deletes.filter(d => carried.exists(_.seq < d.seq)))
+  }
+
+  /**
+   * MERGE-ON-READ upsert — the other half of Iceberg's upsert story (v2
+   * equality deletes): the write is O(updates) regardless of table size.
+   * The commit appends the update rows as ordinary data files AND an
+   * equality-delete file of the batch's key tuples; no existing file is
+   * touched. The read path ([[readFiles]]) anti-joins each data file group
+   * against the delete files committed after it, so superseded rows vanish
+   * at scan time. Cost model vs [[merge]] (CoW): MoR writes nothing it
+   * doesn't have to but taxes every subsequent read with the anti-merge;
+   * CoW pays the rewrite once and reads clean. [[compact]] applies all
+   * pending deletes and resets the read path to clean scans. Same
+   * duplicate-key refusal and commitId crash-retry idempotence as [[merge]];
+   * time travel across delete commits shows each snapshot's own visible
+   * row set.
+   */
+  def mergeOnRead(spark: SparkSession, table: String, updates: DataFrame,
+                  keyCols: Seq[String], statsCols: Seq[String], commitId: String): Snapshot = {
+    val already = snapshots(table).exists(id => snapshotAt(table, id).exists(s =>
+      s.files.exists(_.path.contains(s"/data/$commitId/")) ||
+        s.deletes.exists(_.path.contains(s"/deletes/$commitId/"))))
+    if (already) return readSnapshot(table).get
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    val nDup = updates.agg(count(lit(1)).as("__n"),
+      countDistinct(struct(keyCols.map(col): _*)).as("__nd")).collect()(0)
+    require(nDup.getAs[Long]("__n") == nDup.getAs[Long]("__nd"),
+      s"merge updates contain duplicate ${keyCols.mkString(",")} keys")
+    // delete file: the batch's key tuples under stable PHYSICAL names —
+    // written BEFORE the snapshot swap, so a crash leaves both unreferenced
+    val delDir = Paths.get(table, "deletes", commitId)
+    toPhysical(updates.select(keyCols.map(col): _*), table)
+      .coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+    val delFile = {
+      val st = Files.list(delDir)
+      try st.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted.head
+      finally st.close()
+    }
+    writeData(aligned, table, commitId)
+    val physKeys = keyCols.map(snap.physical)
+    val nextId = snap.id + 1
+    commitWritten(spark, snap.schemaJson, table, (statsCols ++ keyCols).distinct,
+      commitId, keepPrev = true,
+      carryDeletes = Seq(DeleteEntry(delFile, nextId, physKeys)))
   }
 
   private def surviving(snap: Snapshot, prune: Map[String, (Double, Double)],
@@ -363,10 +499,13 @@ object IcebergLite {
     def m(mm: Map[String, String]) =
       mm.toSeq.sortBy(_._1).map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val files = s.files.map(f =>
-      s"""{"path":"${esc(f.path)}","rows":${f.rows},"min":${m(f.min)},"max":${m(f.max)}}""")
+      s"""{"path":"${esc(f.path)}","rows":${f.rows},"min":${m(f.min)},"max":${m(f.max)},"seq":${f.seq}}""")
       .mkString("[", ",", "]")
     val ren = if (s.renames.isEmpty) "" else s""","renames":${m(s.renames)}"""
-    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files$ren}"""
+    val del = if (s.deletes.isEmpty) "" else s.deletes.map(d =>
+      s"""{"path":"${esc(d.path)}","seq":${d.seq},"keys":${d.keys.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")}}""")
+      .mkString(""","deletes":[""", ",", "]")
+    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files$ren$del}"""
   }
 
   /** Tiny recursive-descent JSON parser for our own snapshot format. */
@@ -378,12 +517,19 @@ object IcebergLite {
       FileEntry(f("path").asInstanceOf[String],
         f("rows").asInstanceOf[Double].toLong,
         f("min").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
-        f("max").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
+        f("max").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
+        f.get("seq").map(_.asInstanceOf[Double].toLong).getOrElse(0L))
     }
+    val deletes = obj.get("deletes").map(_.asInstanceOf[List[Any]].map { dd =>
+      val d = dd.asInstanceOf[Map[String, Any]]
+      DeleteEntry(d("path").asInstanceOf[String], d("seq").asInstanceOf[Double].toLong,
+        d("keys").asInstanceOf[List[Any]].map(_.toString))
+    }).getOrElse(Nil)
     Snapshot(obj("id").asInstanceOf[Double].toLong, obj("parent").asInstanceOf[Double].toLong,
       obj("schema").asInstanceOf[String], files,
       obj.get("renames").map(_.asInstanceOf[Map[String, Any]]
-        .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty))
+        .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty),
+      deletes)
   }
 }
 

@@ -203,6 +203,135 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, t).count() == 11) // refused merge left no trace
   }
 
+  test("merge is file-targeted: key-disjoint files carried by reference, untouched bytes") {
+    val t = tmpTable()
+    // two commits with provably disjoint key ranges, key stats collected
+    IcebergLite.append(spark,
+      (0L until 100L).map(i => (i, s"lo$i")).toDF("k", "v").repartitionByRange(2, $"k"),
+      t, Seq("k"), "c1")
+    IcebergLite.append(spark,
+      (1000L until 1100L).map(i => (i, s"hi$i")).toDF("k", "v").repartitionByRange(2, $"k"),
+      t, Seq("k"), "c2")
+    val before = IcebergLite.readSnapshot(t).get
+    val loFiles = before.files.filter(_.path.contains("/data/c1/"))
+    assert(loFiles.size == 2)
+    val loBytes = loFiles.map(f => f.path ->
+      Files.readAllBytes(java.nio.file.Paths.get(f.path.stripPrefix("file:"))).toSeq).toMap
+
+    // updates hit only the hi range → lo files must NOT be rewritten
+    val updates = Seq((1003L, "NEW1003"), (2000L, "NEW2000")).toDF("k", "v")
+    val after = IcebergLite.merge(spark, t, updates, Seq("k"), Seq("k"), "m1")
+    val afterPaths = after.files.map(_.path).toSet
+    loFiles.foreach { f =>
+      assert(afterPaths.contains(f.path), s"carried file dropped: ${f.path}")
+      assert(Files.readAllBytes(java.nio.file.Paths.get(f.path.stripPrefix("file:"))).toSeq
+        == loBytes(f.path), s"carried file rewritten: ${f.path}")
+    }
+    assert(!afterPaths.exists(_.contains("/data/c2/")),
+      "touched-range files must be rewritten into the merge commit")
+    // carried entries keep manifest stats (pruning still works post-merge)
+    assert(IcebergLite.selectedFiles(t, Map("k" -> (0.0, 50.0)))
+      .forall(_.contains("/data/c1/")))
+    // and the result is the correct relational merge
+    val got = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got.size == 201 && got(1003L) == "NEW1003" && got(2000L) == "NEW2000"
+      && got(3L) == "lo3" && got(1005L) == "hi1005")
+  }
+
+  test("merge on a stat-less table is conservative but SELF-HEALING: rewrite collects key stats") {
+    val t = tmpTable()
+    // no key stats at all → first merge cannot prune (full rewrite, still correct)
+    IcebergLite.writeData((0L until 50L).map(i => (i, s"a$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), t, "c1")
+    IcebergLite.commitWritten(spark,
+      (0L until 1L).map(i => (i, "x")).toDF("k", "v").schema.json, t, Seq.empty, "c1")
+    assert(IcebergLite.readSnapshot(t).get.files.forall(_.min.isEmpty))
+    IcebergLite.merge(spark, t, Seq((3L, "B3")).toDF("k", "v"), Seq("k"), Seq.empty, "m1")
+    val afterFirst = IcebergLite.readSnapshot(t).get
+    assert(afterFirst.files.forall(_.path.contains("/data/m1/")), "stat-less files all rewritten")
+    assert(afterFirst.files.forall(_.min.contains("k")), "merge must auto-collect key stats")
+    // second merge on a key OUTSIDE every file range now carries untouched files
+    val m1Paths = afterFirst.files.map(_.path).toSet
+    val afterSecond = IcebergLite.merge(spark, t,
+      Seq((9999L, "NEW")).toDF("k", "v"), Seq("k"), Seq.empty, "m2")
+    assert(m1Paths.subsetOf(afterSecond.files.map(_.path).toSet),
+      "disjoint insert-only merge must carry every existing file by reference")
+    assert(IcebergLite.read(spark, t).count() == 51)
+  }
+
+  test("mergeOnRead: O(updates) write, equality deletes applied at read, compact resets") {
+    val t = tmpTable()
+    IcebergLite.append(spark,
+      (0L until 10L).map(i => (i, s"old$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    val preMerge = IcebergLite.currentSnapshotId(t).get
+    val dataBefore = IcebergLite.readSnapshot(t).get.files.map(_.path).toSet
+
+    val up1 = Seq((3L, "NEW3"), (100L, "NEW100")).toDF("k", "v")
+    val s1 = IcebergLite.mergeOnRead(spark, t, up1, Seq("k"), Seq("k"), "mor1")
+    // no existing file touched: prior entries all carried, one delete entry added
+    assert(dataBefore.subsetOf(s1.files.map(_.path).toSet))
+    assert(s1.deletes.size == 1 && s1.deletes.head.keys == Seq("k"))
+    val got1 = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got1.size == 11 && got1(3L) == "NEW3" && got1(100L) == "NEW100" && got1(4L) == "old4")
+
+    // a second MoR on the same key supersedes the first (seq ordering)
+    IcebergLite.mergeOnRead(spark, t, Seq((3L, "NEWER3")).toDF("k", "v"),
+      Seq("k"), Seq("k"), "mor2")
+    assert(IcebergLite.read(spark, t).as[(Long, String)].collect().toMap.apply(3L) == "NEWER3")
+    // crash-retry idempotence
+    IcebergLite.mergeOnRead(spark, t, Seq((3L, "NEWER3")).toDF("k", "v"),
+      Seq("k"), Seq("k"), "mor2")
+    assert(IcebergLite.read(spark, t).count() == 11)
+    // duplicate keys in one batch refused, no trace
+    intercept[IllegalArgumentException] {
+      IcebergLite.mergeOnRead(spark, t, Seq((5L, "X"), (5L, "Y")).toDF("k", "v"),
+        Seq("k"), Seq("k"), "mor3")
+    }
+    assert(IcebergLite.read(spark, t).count() == 11)
+
+    // time travel across delete commits: each snapshot's own visible rows
+    assert(IcebergLite.readAt(spark, t, preMerge).as[(Long, String)]
+      .collect().toMap.apply(3L) == "old3")
+    assert(IcebergLite.readAt(spark, t, s1.id).as[(Long, String)]
+      .collect().toMap.apply(3L) == "NEW3")
+
+    // compact applies all pending deletes and resets to clean scans
+    val compacted = IcebergLite.compact(spark, t, Seq("k"), "compactM")
+    assert(compacted.deletes.isEmpty)
+    val gotC = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(gotC.size == 11 && gotC(3L) == "NEWER3" && gotC(100L) == "NEW100")
+    // history still time-travels (delete files retained on disk)
+    assert(IcebergLite.readAt(spark, t, s1.id).as[(Long, String)]
+      .collect().toMap.apply(3L) == "NEW3")
+  }
+
+  test("CoW merge after MoR carries pending deletes for untouched files") {
+    val t = tmpTable()
+    IcebergLite.append(spark,
+      (0L until 100L).map(i => (i, s"a$i")).toDF("k", "v").repartitionByRange(2, $"k"),
+      t, Seq("k"), "c1")
+    IcebergLite.append(spark,
+      (1000L until 1100L).map(i => (i, s"b$i")).toDF("k", "v").repartitionByRange(2, $"k"),
+      t, Seq("k"), "c2")
+    // MoR delete-rewrites one key in EACH range
+    IcebergLite.mergeOnRead(spark, t,
+      Seq((5L, "MOR5"), (1005L, "MOR1005")).toDF("k", "v"), Seq("k"), Seq("k"), "mor1")
+    // CoW merge touching only the hi range: lo files carried, but the MoR
+    // delete against k=5 (in a carried file) must survive the commit
+    val after = IcebergLite.merge(spark, t,
+      Seq((1007L, "COW1007")).toDF("k", "v"), Seq("k"), Seq("k"), "cow1")
+    assert(after.deletes.nonEmpty, "pending delete on a carried file must be kept")
+    val got = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got.size == 200 && got(5L) == "MOR5" && got(1005L) == "MOR1005"
+      && got(1007L) == "COW1007" && got(6L) == "a6")
+    // renamed key column: MoR still merges (physical-name delete keys)
+    IcebergLite.renameColumn(t, "k", "key")
+    IcebergLite.mergeOnRead(spark, t, Seq((6L, "MOR6")).toDF("key", "v"),
+      Seq("key"), Seq("key"), "mor2")
+    val got2 = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got2(6L) == "MOR6" && got2(5L) == "MOR5" && got2.size == 200)
+  }
+
   test("nested-span stats (statsExprs) prune band-filter scans at the file level") {
     val t = tmpTable()
     // two commits with DISJOINT band vocabularies → two prunable file sets
@@ -243,8 +372,9 @@ class IcebergLiteSpec extends AnyFunSuite {
   test("snapshot JSON roundtrip") {
     val s = IcebergLite.Snapshot(3, 2, """{"type":"struct"}""",
       Seq(IcebergLite.FileEntry("/a/b \"q\".parquet", 10,
-        Map("k" -> "-5"), Map("k" -> "42"))),
-      renames = Map("val" -> "v"))
+        Map("k" -> "-5"), Map("k" -> "42"), seq = 2)),
+      renames = Map("val" -> "v"),
+      deletes = Seq(IcebergLite.DeleteEntry("/a/del.parquet", 3, Seq("k", "k2"))))
     val js = {
       // render via append path is file-bound; test parse on a hand render
       val m = classOf[IcebergLite.type].getDeclaredMethods
