@@ -71,6 +71,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => TrainQueries.annIvf(s, d)),
     "media_decode" -> ((s, d) => TrainQueries.mediaDecode(s, d)),
     "media_validate" -> ((s, d) => TrainQueries.mediaValidate(s, d)),
+    "media_multiband" -> ((s, d) => TrainQueries.mediaMultiband(s, d)),
     // streaming plane (S7/§2.10): the same aggregation THROUGH the
     // streaming engine (readStream → window agg → AvailableNow drain);
     // Complete mode emits every window, so the oracle is the plain batch
@@ -608,6 +609,18 @@ object SparkEntry {
          |            ELSE 'body_length_mismatch' END AS reason
          |FROM ids CROSS JOIN sp""".stripMargin
     },
+    "media_multiband" -> {
+      val nBands = graft.model.Bands.byPlatform("SENTINEL_2").size
+      s"""WITH ids AS (SELECT o_orderkey AS doc_id FROM orders WHERE o_orderkey % 30 = 0),
+         |refs AS (SELECT doc_id, concat(cast(doc_id AS varchar), '_multi') AS ref FROM ids),
+         |hs AS (SELECT doc_id, ${graft.media.Media.hashCodeSql("ref")} AS h FROM refs)
+         |SELECT cast(doc_id AS varchar) AS doc_id,
+         |       cast(16 + abs(h % 17) AS int) AS width,
+         |       cast(16 + abs(h % 13) AS int) AS height,
+         |       $nBands AS n_bands,
+         |       true AS roundtrip_ok, true AS cog_ok
+         |FROM hs""".stripMargin
+    },
     "px_rasterize" ->
       s"""WITH px AS (${ops.Pixels.pixelsSql})
          |SELECT l_orderkey, l_linenumber, py, px,
@@ -949,6 +962,31 @@ object TrainQueries {
       .select(col("doc_id"), col("band"), col("offset"),
         col("meta.width"), col("meta.height"), col("meta.channels"),
         size(col("features")).as("n_features"))
+  }
+
+  /** Multi-band export: ALL of a scene's bands written as ONE GeoTIFF
+    * (`utils/dc_import_export.py:90-139` export_xarray_to_geotiff, count =
+    * len(bands)) — each doc's 7 SENTINEL_2 band planes encode into a single
+    * chunky-interleaved multi-band COG, decode back bit-exact
+    * (roundtrip_ok), and pass the COG validator (cog_ok). Dims derive from
+    * the doc-level ref hash (DuckDB-computable); the pixel proof lives in
+    * the booleans, which only the real codec round-tripping can set. */
+  def mediaMultiband(s: SparkSession, d: String): DataFrame = {
+    val scenes = graft.model.SynthCorpus.scenesFromOrders(s, d)
+      .withColumn("platform", lit("SENTINEL_2"))
+      .where(col("doc_id") % 30 === 0)
+    val refs = graft.model.SynthCorpus.withSpansColumn(scenes)
+      .select(col("doc_id").cast("string").as("doc_id"), explode(col("spans")).as("sp"))
+      .where(col("sp.kind") === "band")
+      .groupBy("doc_id")
+      // band order is significant (Bands.byPlatform): sort by span offset
+      .agg(expr("transform(sort_array(collect_list(struct(sp.offset, sp.media_ref))), r -> r.media_ref)").as("refs"))
+    refs
+      .withColumn("m", graft.media.Media.multibandRoundtripUdf(
+        concat(col("doc_id"), lit("_multi")), col("refs")))
+      .select(col("doc_id"), col("m._1").as("width"), col("m._2").as("height"),
+        col("m._3").as("n_bands"), col("m._4").as("roundtrip_ok"),
+        col("m._5").as("cog_ok"))
   }
 
   /** Payload validation over a deterministically-corrupted media stream —

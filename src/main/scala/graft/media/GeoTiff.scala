@@ -17,11 +17,17 @@ import java.util.zip.{Deflater, Inflater}
  * with the main-resolution tiles last — so a ranged read of the header
  * prefix yields every IFD, and each zoom level's data is contiguous.
  *
- * Subset: single-band (the reference emits one COG per band) unsigned
- * 16-bit samples. The decoder handles exactly what the encoder emits and
- * fails loudly on truncation/corruption; [[validate]] reimplements the
- * reference validator's structural checks. Standard TIFF tags only, so
- * external tooling reads these files.
+ * Samples are unsigned 16-bit; 1..N bands. The COG pipeline emits one COG
+ * per band (`utils/prep_utils.py:413-491`), while the export path writes
+ * all data_vars as bands of ONE file (`utils/dc_import_export.py:90-139`,
+ * count = len(bands)) — [[encodeBands]] is that shape: SamplesPerPixel = N,
+ * PlanarConfiguration = 1 (chunky pixel interleave, GDAL's default), with
+ * the horizontal predictor differencing per sample component as TIFF 6.0
+ * specifies. Single-band output is byte-identical to the pre-multi-band
+ * encoder. The decoder handles exactly what the encoder emits and fails
+ * loudly on truncation/corruption; [[validate]] reimplements the reference
+ * validator's structural checks. Standard TIFF tags only, so external
+ * tooling reads these files.
  */
 object GeoTiff {
 
@@ -36,6 +42,7 @@ object GeoTiff {
   private val TCompression = 259
   private val TPhotometric = 262
   private val TSamplesPerPixel = 277
+  private val TPlanarConfig = 284
   private val TPredictor = 317
   private val TTileWidth = 322
   private val TTileLength = 323
@@ -79,24 +86,36 @@ object GeoTiff {
     Image(w2, h2, out)
   }
 
-  /** Compress one tile: extract (nodata-padded) tw×th block, horizontal
-    * predictor, little-endian 16-bit, zlib at `zlevel`. */
-  private def compressTile(img: Image, tx: Int, ty: Int, tw: Int, th: Int,
+  /** Compress one tile: extract (nodata-padded) tw×th block of ALL bands
+    * pixel-interleaved (chunky/PlanarConfiguration 1), horizontal predictor
+    * applied PER SAMPLE COMPONENT (TIFF 6.0 §14: each component differences
+    * against the same component of the previous pixel), little-endian
+    * 16-bit, zlib at `zlevel`. */
+  private def compressTile(bands: Seq[Image], tx: Int, ty: Int, tw: Int, th: Int,
                            nodata: Int, zlevel: Int): Array[Byte] = {
-    val raw = new Array[Byte](tw * th * 2)
+    val nb = bands.length
+    val width = bands.head.width
+    val height = bands.head.height
+    val raw = new Array[Byte](tw * th * nb * 2)
+    val prev = new Array[Int](nb)
     var r = 0
     while (r < th) {
       val sy = ty * th + r
-      var prev = 0
+      java.util.Arrays.fill(prev, 0)
       var c = 0
       while (c < tw) {
         val sx = tx * tw + c
-        val v = if (sy < img.height && sx < img.width) img.pixels(sy * img.width + sx)
-                else nodata
-        val d = if (c == 0) v else (v - prev) & 0xFFFF // predictor 2
-        prev = v
-        raw((r * tw + c) * 2) = d.toByte
-        raw((r * tw + c) * 2 + 1) = (d >>> 8).toByte
+        var b = 0
+        while (b < nb) {
+          val v = if (sy < height && sx < width) bands(b).pixels(sy * width + sx)
+                  else nodata
+          val d = if (c == 0) v else (v - prev(b)) & 0xFFFF // predictor 2
+          prev(b) = v
+          val o = ((r * tw + c) * nb + b) * 2
+          raw(o) = d.toByte
+          raw(o + 1) = (d >>> 8).toByte
+          b += 1
+        }
         c += 1
       }
       r += 1
@@ -113,8 +132,11 @@ object GeoTiff {
   private def tilesAcross(n: Int, t: Int) = (n + t - 1) / t
   private def pad4(n: Int): Int = (n + 3) & ~3
 
-  private final case class Level(img: Image, tiles: Array[Array[Byte]],
-                                 cols: Int, rows: Int)
+  private final case class Level(bands: Seq[Image], tiles: Array[Array[Byte]],
+                                 cols: Int, rows: Int) {
+    def width: Int = bands.head.width
+    def height: Int = bands.head.height
+  }
 
   private final class LEWriter(val out: ByteArrayOutputStream = new ByteArrayOutputStream()) {
     def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
@@ -124,26 +146,42 @@ object GeoTiff {
   }
 
   /** Encode a single-band uint16 image as a cloud-optimized tiled TIFF.
-    * `pixels` row-major, values 0..65535. */
+    * `pixels` row-major, values 0..65535. Byte-identical to the original
+    * single-band encoder (the N=1 case of [[encodeBands]]). */
   def encode(width: Int, height: Int, pixels: Array[Int],
              nodata: Int = 0, tileSize: Int = DefaultTileSize,
              overviewLevels: Int = DefaultOverviewLevels,
-             zlevel: Int = 9): Array[Byte] = {
+             zlevel: Int = 9): Array[Byte] =
+    encodeBands(width, height, Seq(pixels), nodata, tileSize, overviewLevels, zlevel)
+
+  /** Encode N uint16 band planes as ONE multi-band cloud-optimized tiled
+    * TIFF (the reference export shape, `dc_import_export.py:90-139`,
+    * count = len(bands)): SamplesPerPixel = N, chunky pixel interleave
+    * (PlanarConfiguration 1), shared tile grid, every overview decimating
+    * all bands. Band order is preserved. */
+  def encodeBands(width: Int, height: Int, bandPlanes: Seq[Array[Int]],
+                  nodata: Int = 0, tileSize: Int = DefaultTileSize,
+                  overviewLevels: Int = DefaultOverviewLevels,
+                  zlevel: Int = 9): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
-    require(pixels.length == width * height,
-      s"pixel buffer ${pixels.length} != $width*$height")
-    require(pixels.forall(p => p >= 0 && p <= 0xFFFF), "samples must be uint16")
+    val nb = bandPlanes.length
+    require(nb >= 1 && nb <= 0xFFFF, s"bad band count $nb")
+    bandPlanes.foreach { pixels =>
+      require(pixels.length == width * height,
+        s"pixel buffer ${pixels.length} != $width*$height")
+      require(pixels.forall(p => p >= 0 && p <= 0xFFFF), "samples must be uint16")
+    }
     require(nodata >= 0 && nodata <= 0xFFFF, s"nodata $nodata not uint16")
-    val main = Image(width, height, pixels)
+    val main = bandPlanes.map(Image(width, height, _)).toSeq
     // overview level k decimates the ORIGINAL by 2^k (cog_translate builds
     // overviews = [2**j for j in 1..overview_level], average resampling)
-    val ovrs = (1 to overviewLevels).map(k => decimateAverage(main, 1 << k))
-    val levels = (main +: ovrs).map { img =>
-      val cols = tilesAcross(img.width, tileSize)
-      val rows = tilesAcross(img.height, tileSize)
+    val ovrs = (1 to overviewLevels).map(k => main.map(decimateAverage(_, 1 << k)))
+    val levels = (main +: ovrs).map { bands =>
+      val cols = tilesAcross(bands.head.width, tileSize)
+      val rows = tilesAcross(bands.head.height, tileSize)
       val tiles = for (ty <- 0 until rows; tx <- 0 until cols)
-        yield compressTile(img, tx, ty, tileSize, tileSize, nodata, zlevel)
-      Level(img, tiles.toArray, cols, rows)
+        yield compressTile(bands, tx, ty, tileSize, tileSize, nodata, zlevel)
+      Level(bands, tiles.toArray, cols, rows)
     }
 
     // --- sizing pass: IFD byte layout is fully determined by tag counts ---
@@ -151,15 +189,20 @@ object GeoTiff {
     // ASCII values over 4 bytes go to the external value area (TIFF rule):
     // nodata 0..999 packs inline, larger uint16 nodata stores externally
     val nodataExt = if (nodataAscii.length > 4) pad4(nodataAscii.length) else 0
-    def nTags(isOvr: Boolean) = (if (isOvr) 1 else 0) + 12 + (if (isOvr) 0 else 1)
+    // BitsPerSample/SampleFormat carry count = SamplesPerPixel; N <= 2 SHORT
+    // values pack inline (4-byte field), N > 2 go to the external area
+    val shortArrExt = if (nb > 2) pad4(2 * nb) else 0
+    def nTags(isOvr: Boolean) =
+      (if (isOvr) 1 else 0) + 12 + (if (nb > 1) 1 else 0) + (if (isOvr) 0 else 1)
     def ifdSize(isOvr: Boolean) = 2 + 12 * nTags(isOvr) + 4
     def extSize(l: Level, isOvr: Boolean) =
-      (if (l.tiles.length > 1) 8 * l.tiles.length else 0) + (if (isOvr) 0 else nodataExt)
+      (if (l.tiles.length > 1) 8 * l.tiles.length else 0) + 2 * shortArrExt +
+        (if (isOvr) 0 else nodataExt)
 
     // header, then per level: IFD immediately followed by its external
-    // tile-offset/bytecount arrays (+ the main IFD's external nodata ASCII
-    // when it exceeds the inline field) — ascending IFD offsets, per
-    // validator
+    // tile-offset/bytecount arrays, then (N > 2) the BitsPerSample and
+    // SampleFormat arrays, then the main IFD's external nodata ASCII when
+    // it exceeds the inline field — ascending IFD offsets, per validator
     val ifdOffsets = new Array[Long](levels.length)
     var pos = 8L
     levels.zipWithIndex.foreach { case (l, i) =>
@@ -180,6 +223,14 @@ object GeoTiff {
         t += 1
       }
     }
+    // ClassicTIFF offsets are 32-bit; fail with a clear message instead of
+    // emitting an unrepresentable file (BigTIFF is the format for beyond)
+    require(dpos <= 0xFFFFFFFFL, s"image exceeds ClassicTIFF 4 GiB limit ($dpos bytes)")
+
+    // inline packing for SHORT arrays: count 1 -> left-justified single,
+    // count 2 -> two LE shorts in the 4-byte value field
+    def shortInline(v: Int): Long =
+      if (nb == 1) v.toLong else (v.toLong | (v.toLong << 16))
 
     // --- emit ---
     val w = new LEWriter()
@@ -189,15 +240,21 @@ object GeoTiff {
     levels.zipWithIndex.foreach { case (l, i) =>
       val isOvr = i > 0
       val extBase = ifdOffsets(i) + ifdSize(isOvr)
+      val tileArr = if (l.tiles.length > 1) 8L * l.tiles.length else 0L
+      val bpsOff = extBase + tileArr            // BitsPerSample array (N > 2)
+      val sfOff = bpsOff + shortArrExt          // SampleFormat array (N > 2)
       var entries = Vector.empty[(Int, Int, Long, Long)] // tag, type, count, valueOrOffset
       if (isOvr) entries :+= ((TNewSubfileType, TypeLong, 1L, 1L))
       entries ++= Vector(
-        (TImageWidth, TypeLong, 1L, l.img.width.toLong),
-        (TImageLength, TypeLong, 1L, l.img.height.toLong),
-        (TBitsPerSample, TypeShort, 1L, 16L),
+        (TImageWidth, TypeLong, 1L, l.width.toLong),
+        (TImageLength, TypeLong, 1L, l.height.toLong),
+        (TBitsPerSample, TypeShort, nb.toLong,
+          if (nb > 2) bpsOff else shortInline(16)),
         (TCompression, TypeShort, 1L, 8L),    // DEFLATE (zlib)
         (TPhotometric, TypeShort, 1L, 1L),    // BlackIsZero
-        (TSamplesPerPixel, TypeShort, 1L, 1L),
+        (TSamplesPerPixel, TypeShort, 1L, nb.toLong))
+      if (nb > 1) entries :+= ((TPlanarConfig, TypeShort, 1L, 1L)) // chunky
+      entries ++= Vector(
         (TPredictor, TypeShort, 1L, 2L),      // horizontal differencing
         (TTileWidth, TypeShort, 1L, tileSize.toLong),
         (TTileLength, TypeShort, 1L, tileSize.toLong),
@@ -206,27 +263,36 @@ object GeoTiff {
         (TTileByteCounts, TypeLong, l.tiles.length.toLong,
           if (l.tiles.length > 1) extBase + 4L * l.tiles.length
           else l.tiles(0).length.toLong),
-        (TSampleFormat, TypeShort, 1L, 1L))   // unsigned integer
+        (TSampleFormat, TypeShort, nb.toLong,
+          if (nb > 2) sfOff else shortInline(1))) // unsigned integer
       if (!isOvr) {
-        // GDAL_NODATA is ASCII; ≤4 bytes packs inline (left-justified),
-        // longer values point into the external area after the tile arrays
+        // GDAL_NODATA is ASCII; <=4 bytes packs inline (left-justified),
+        // longer values point into the external area after the arrays
         val v = if (nodataExt == 0) {
           var inline = 0L
           for (j <- nodataAscii.indices) inline |= (nodataAscii(j) & 0xFFL) << (8 * j)
           inline
-        } else extBase + (if (l.tiles.length > 1) 8L * l.tiles.length else 0L)
+        } else sfOff + shortArrExt
         entries :+= ((TGdalNodata, TypeAscii, nodataAscii.length.toLong, v))
       }
       w.u16(entries.length)
       entries.foreach { case (tag, tp, cnt, v) =>
         w.u16(tag); w.u16(tp); w.u32(cnt)
-        // SHORT single values are left-justified in the 4-byte field (LE)
+        // SHORT single values are left-justified in the 4-byte field (LE);
+        // SHORT pairs arrive pre-packed into the u32
         if (tp == TypeShort && cnt == 1) { w.u16(v.toInt); w.u16(0) } else w.u32(v)
       }
       w.u32(if (i + 1 < levels.length) ifdOffsets(i + 1) else 0L) // next IFD
       if (l.tiles.length > 1) {
         tileOffsets(i).foreach(w.u32)
         l.tiles.foreach(t => w.u32(t.length.toLong))
+      }
+      if (nb > 2) {
+        Seq(16, 1).foreach { v => // BitsPerSample then SampleFormat
+          (0 until nb).foreach(_ => w.u16(v))
+          var p = 2 * nb
+          while (p < shortArrExt) { w.out.write(0); p += 1 }
+        }
       }
       if (!isOvr && nodataExt > 0) {
         w.bytes(nodataAscii)
@@ -262,6 +328,9 @@ object GeoTiff {
       case None => Nil
       case Some((tp, cnt, v)) =>
         if (cnt == 1) Seq(v)
+        // values totalling ≤4 bytes live INLINE in the value field (TIFF
+        // rule): a SHORT pair is packed as two LE u16s, not an offset
+        else if (tp == TypeShort && cnt == 2) Seq(v & 0xFFFFL, (v >>> 16) & 0xFFFFL)
         else (0L until cnt).map { i =>
           if (tp == TypeShort) r.u16(v + 2 * i).toLong else r.u32(v + 4 * i)
         }
@@ -297,12 +366,16 @@ object GeoTiff {
     (r, ifds)
   }
 
-  private def decodeIfd(r: LEReader, ifd: Ifd): Image = {
+  /** Decode one IFD into its band planes (chunky interleave only —
+    * PlanarConfiguration 1, what the encoder emits and GDAL defaults to). */
+  private def decodeIfd(r: LEReader, ifd: Ifd): Seq[Image] = {
     val w = ifd.long(TImageWidth).get.toInt
     val h = ifd.long(TImageLength).get.toInt
     require(ifd.long(TCompression).contains(8L), "unsupported compression")
-    require(ifd.long(TBitsPerSample).forall(_ == 16L), "only 16-bit supported")
-    require(ifd.long(TSamplesPerPixel).forall(_ == 1L), "only single-band supported")
+    val nb = ifd.long(TSamplesPerPixel).getOrElse(1L).toInt
+    require(nb >= 1, s"bad SamplesPerPixel $nb")
+    require(ifd.longs(r, TBitsPerSample).forall(_ == 16L), "only 16-bit supported")
+    require(ifd.long(TPlanarConfig).forall(_ == 1L), "only chunky interleave supported")
     val predictor = ifd.long(TPredictor).getOrElse(1L).toInt
     val tw = ifd.long(TTileWidth).get.toInt
     val th = ifd.long(TTileLength).get.toInt
@@ -311,13 +384,14 @@ object GeoTiff {
     require(offs.length == counts.length, "tile offset/count mismatch")
     val cols = tilesAcross(w, tw)
     require(offs.length == cols * tilesAcross(h, th), "tile count mismatch")
-    val px = new Array[Int](w * h)
+    val px = Array.fill(nb)(new Array[Int](w * h))
+    val prev = new Array[Int](nb)
     offs.indices.foreach { t =>
       val (off, cnt) = (offs(t), counts(t))
       require(off + cnt <= r.b.length, s"tile $t extends past EOF")
       val inf = new Inflater()
       inf.setInput(r.b, off.toInt, cnt.toInt)
-      val raw = new Array[Byte](tw * th * 2)
+      val raw = new Array[Byte](tw * th * nb * 2)
       var done = 0
       while (done < raw.length && !inf.finished()) {
         val k = inf.inflate(raw, done, raw.length - done)
@@ -334,27 +408,45 @@ object GeoTiff {
       var rrow = 0
       while (rrow < th) {
         val y = ty * th + rrow
-        var prev = 0
+        java.util.Arrays.fill(prev, 0)
         var c = 0
         while (c < tw) {
-          val d = (raw((rrow * tw + c) * 2) & 0xFF) | ((raw((rrow * tw + c) * 2 + 1) & 0xFF) << 8)
-          val v = if (predictor == 2 && c > 0) (prev + d) & 0xFFFF else d
-          prev = v
           val x = tx * tw + c
-          if (y < h && x < w) px(y * w + x) = v
+          var b = 0
+          while (b < nb) {
+            val o = ((rrow * tw + c) * nb + b) * 2
+            val d = (raw(o) & 0xFF) | ((raw(o + 1) & 0xFF) << 8)
+            // predictor 2 differences per sample component (TIFF 6.0 §14)
+            val v = if (predictor == 2 && c > 0) (prev(b) + d) & 0xFFFF else d
+            prev(b) = v
+            if (y < h && x < w) px(b)(y * w + x) = v
+            b += 1
+          }
           c += 1
         }
         rrow += 1
       }
     }
-    Image(w, h, px)
+    px.toSeq.map(Image(w, h, _))
   }
 
   final case class Decoded(main: Image, overviews: Seq[Image], nodata: Option[Int])
 
-  /** Decode main image + all overviews; verifies structure and inflation
-    * (corruption fails loudly — GeoTiffSpec). */
+  /** Multi-band decode result: `bands(i)` is band i's main plane,
+    * `overviews(k)(i)` band i of overview level k. */
+  final case class DecodedBands(bands: Seq[Image], overviews: Seq[Seq[Image]],
+                                nodata: Option[Int])
+
+  /** Decode a single-band file: main image + all overviews; verifies
+    * structure and inflation (corruption fails loudly — GeoTiffSpec). */
   def decode(bytes: Array[Byte]): Decoded = {
+    val d = decodeBands(bytes)
+    require(d.bands.size == 1, s"expected single band, file has ${d.bands.size}")
+    Decoded(d.bands.head, d.overviews.map(_.head), d.nodata)
+  }
+
+  /** Decode main bands + all overviews of a 1..N-band file. */
+  def decodeBands(bytes: Array[Byte]): DecodedBands = {
     val (r, ifds) = readHeaderAndIfds(bytes)
     require(ifds.nonEmpty, "no IFD")
     val nodata = ifds.head.tags.get(TGdalNodata).map { case (_, cnt, v) =>
@@ -368,7 +460,7 @@ object GeoTiff {
         }
       chars.mkString.takeWhile(_ != '\u0000').toInt
     }
-    Decoded(decodeIfd(r, ifds.head), ifds.tail.map(decodeIfd(r, _)), nodata)
+    DecodedBands(decodeIfd(r, ifds.head), ifds.tail.map(decodeIfd(r, _)), nodata)
   }
 
   /** Structural cloud-optimized validation — the reference validator's

@@ -263,6 +263,24 @@ object Media {
     * reference's `cog_validate` (`utils/prep_utils.py:637-790`). */
   val validateGeoTiffUdf = udf((b: Array[Byte]) => GeoTiff.validate(b))
 
+  /** Multi-band export twin of the reference's `export_xarray_to_geotiff`
+    * (`utils/dc_import_export.py:90-139`: ALL data_vars written as bands of
+    * ONE GeoTIFF, count = len(bands)) — per doc, every band plane encodes
+    * into a single chunky-interleaved multi-band COG; decode verifies each
+    * plane bit-exact against its generator (roundtrip_ok) and the layout
+    * against the COG validator (cog_ok). Returns
+    * (width, height, n_bands, roundtrip_ok, cog_ok). */
+  val multibandRoundtripUdf = udf((docRef: String, bandRefs: Seq[String]) => {
+    val (w, h) = bandDims(docRef)
+    val planes = bandRefs.map(r => bandPixels(r, w, h))
+    val bytes = GeoTiff.encodeBands(w, h, planes, nodata = 0,
+      tileSize = 16, overviewLevels = 2, zlevel = 6)
+    val d = GeoTiff.decodeBands(bytes)
+    val ok = d.bands.length == planes.length &&
+      d.bands.zip(planes).forall { case (img, p) => img.pixels.sameElements(p) }
+    (w, h, planes.length, ok, GeoTiff.validateCog(bytes).isEmpty)
+  })
+
   /** Real GeoTIFF read path over band files: binaryFile source →
     * [[GeoTiff.decode]] → typed meta + normalized features; per-file narrow
     * partitioning (same shape as [[decodePngFiles]]). */

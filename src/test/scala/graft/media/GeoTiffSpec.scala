@@ -28,6 +28,41 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-band: lossless round trip, per-band overviews, validator-clean, order kept") {
+    val rnd = new scala.util.Random(11)
+    // N spans the layout regimes: 2 (inline SHORT pair), 3 and 6 (external
+    // BitsPerSample/SampleFormat arrays — the reference export writes one
+    // band per data_var, typically 4-10)
+    Seq(2, 3, 6).foreach { nb =>
+      val (w, h) = (75, 53)
+      val bands = (0 until nb).map(_ => randImage(rnd, w, h))
+      val bytes = GeoTiff.encodeBands(w, h, bands, nodata = 7, tileSize = 32,
+        overviewLevels = 2, zlevel = 6)
+      val d = GeoTiff.decodeBands(bytes)
+      assert(d.bands.length == nb, s"nb=$nb band count")
+      d.bands.zip(bands).zipWithIndex.foreach { case ((got, want), i) =>
+        assert(got.width == w && got.height == h)
+        assert(got.pixels.sameElements(want), s"nb=$nb band $i pixels")
+      }
+      assert(d.nodata.contains(7))
+      assert(d.overviews.length == 2 && d.overviews.forall(_.length == nb))
+      // each band's overview equals its own single-band decimation
+      d.overviews.zipWithIndex.foreach { case (ovr, k) =>
+        ovr.zip(bands).foreach { case (o, px) =>
+          val solo = GeoTiff.decimateAverage(GeoTiff.Image(w, h, px), 1 << (k + 1))
+          assert(o.pixels.sameElements(solo.pixels), s"nb=$nb ovr $k")
+        }
+      }
+      assert(GeoTiff.validateCog(bytes).isEmpty, s"nb=$nb: ${GeoTiff.validateCog(bytes)}")
+      // single-band decode of a multi-band file refuses loudly
+      intercept[IllegalArgumentException](GeoTiff.decode(bytes))
+    }
+    // single-band through encodeBands == encode byte-for-byte (N=1 identity)
+    val px1 = randImage(rnd, 40, 30)
+    assert(GeoTiff.encodeBands(40, 30, Seq(px1), tileSize = 16, overviewLevels = 1)
+      .sameElements(GeoTiff.encode(40, 30, px1, tileSize = 16, overviewLevels = 1)))
+  }
+
   test("overviews: dims halve per level; pixels equal an independent box-average") {
     val rnd = new scala.util.Random(7)
     val (w, h) = (101, 67)
