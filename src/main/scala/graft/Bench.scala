@@ -134,15 +134,28 @@ object Bench {
 
       // skew machinery evidence: the SAME join forced down the shuffled
       // path with explicit ×8 salting on the hotspot corpus, at 4N — this
-      // is the plan used when the dimension side outgrows broadcast
+      // is the plan used when the dimension side outgrows broadcast.
+      // Same outlier protocol as the flagship (r4's single-rep 566k/s sat
+      // 26% under the builder-run band — one co-tenant draw became the
+      // published number): more reps, the pre-stated 1.5×-from-median trim,
+      // and a published BAND of kept walls, not a point.
+      val skewReps = sys.env.getOrElse("SPARK_GRAFT_SKEW_REPS", "5").toInt
       val sSkew = session(levels.last)
       timed(tileAssignJob(sSkew, corpus, shuffled = true, saltBuckets = 8)) // warmup
-      val skewWalls = (1 to 3).map(_ =>
+      val skewWallsRaw = (1 to skewReps).map(_ =>
         timed(tileAssignJob(sSkew, corpus, shuffled = true, saltBuckets = 8)))
       sSkew.stop()
-      val skewWall = median(skewWalls)
+      val skewMedRaw = median(skewWallsRaw)
+      val skewKept = {
+        val k = skewWallsRaw.filterNot(w => w > 1.5 * skewMedRaw || w < skewMedRaw / 1.5)
+        if (k.isEmpty) skewWallsRaw else k
+      }
+      val skewWall = median(skewKept)
       val skewRate = nDocs / skewWall
-      System.err.println(f"[bench-scale] skew-shuffled-salted local[${levels.last}] wall=$skewWall%.3f rate=$skewRate%.1f /s")
+      val (skewRateLo, skewRateHi) = (nDocs / skewKept.max, nDocs / skewKept.min)
+      System.err.println(f"[bench-scale] skew-shuffled-salted local[${levels.last}] " +
+        f"walls=${skewWallsRaw.map(w => f"$w%.2f").mkString(",")} kept=${skewKept.size} " +
+        f"wall=$skewWall%.3f rate=$skewRate%.1f [$skewRateLo%.1f, $skewRateHi%.1f] /s")
 
       // streaming flagship THROUGHPUT: the same tile assignment through the
       // streaming engine (stream-static broadcast join, AvailableNow, one
@@ -264,6 +277,9 @@ object Bench {
           f""""scaling_efficiency_block_estimates":[${effBlocks.map(e => f"$e%.3f").mkString(",")}],""" +
           f""""scaling_efficiency_block_min":$bLo%.3f,"scaling_efficiency_block_max":$bHi%.3f,""" +
           f""""skew_shuffled_salted_wall_s":$skewWall%.3f,"skew_shuffled_salted_scenes_per_sec":$skewRate%.1f,""" +
+          f""""skew_walls_raw_s":[${skewWallsRaw.map(w => f"$w%.3f").mkString(",")}],""" +
+          f""""skew_rounds_kept":${skewKept.size},"skew_reps":$skewReps,""" +
+          f""""skew_scenes_per_sec_min":$skewRateLo%.1f,"skew_scenes_per_sec_max":$skewRateHi%.1f,""" +
           f""""stream_sink_wall_s":$streamSinkWall%.3f,"batch_sink_wall_s":$batchSinkWall%.3f,""" +
           f""""stream_vs_batch_sink_ratio":$streamRatio%.3f}"""
       scalingMd =
@@ -312,9 +328,13 @@ object Bench {
            |above for re-derivation of every statistic.
            |
            |Skew machinery (same join, shuffled path + explicit ×8 salting on
-           |the AM-hotspot corpus, local[${levels.last}]): wall $skewWall%.3f s,
-           |$skewRate%.1f scenes/sec — the plan used when the dimension side
-           |outgrows broadcast; AQE skew-join splitting enabled.
+           |the AM-hotspot corpus, local[${levels.last}]): wall $skewWall%.3f s
+           |(median of ${skewKept.size}/$skewReps kept reps, same 1.5× trim
+           |rule), $skewRate%.1f scenes/sec, **band [$skewRateLo%.1f,
+           |$skewRateHi%.1f] scenes/sec** over kept reps; raw walls
+           |${skewWallsRaw.map(w => f"$w%.2f").mkString(", ")} s — the plan
+           |used when the dimension side outgrows broadcast; AQE skew-join
+           |splitting enabled.
            |
            |Streaming flagship (same assignment through the streaming engine,
            |stream-static broadcast join, AvailableNow, durable parquet sink,
@@ -347,8 +367,8 @@ object Bench {
            |0.73–0.86 run-to-run despite a zero-shuffle plan. At N=$cN → 4N=$c4N
            |the bandwidth demand stays under the host ceiling and the number
            |measures the engine itself. Runs are INTERLEAVED (N,4N,N,4N,…)
-           |so turbo/thermal states are symmetric; medians of $reps after one
-           |discarded warmup per level, outlier rounds trimmed by the stated
+           |so turbo/thermal states are symmetric; medians of $reps after two
+           |discarded warmups per level, outlier rounds trimmed by the stated
            |rule.
            |""".stripMargin
     }

@@ -83,6 +83,19 @@ object SparkEntry {
     // means the committed table ≡ the source row set, which IS the oracle
     "str_append" -> ((s, d) =>
       graft.streaming.Streams.durableEventsIngest(s, s"$d/events.parquet")),
+    // watermark-driven APPEND-mode window agg → durable sink: state holds
+    // only open windows (eviction), the unbounded-stream shape; committed
+    // rows = windows the final watermark closed (deterministic cutoff)
+    "str_windows_append" -> ((s, d) =>
+      graft.streaming.Streams.dailyCountsAppendDurable(s, s"$d/events.parquet")._1),
+    // session windows (gap-based, the third window family): DuckDB twin is
+    // gaps-and-islands (lag + cumulative break sum)
+    "str_sessions" -> ((s, d) =>
+      graft.streaming.Streams.sessionCounts(
+        s.read.parquet(s"$d/events.parquet"), "ts", "30 minutes")
+        .select(unix_micros(col("w_start")).as("w_start_us"),
+          unix_micros(col("w_end")).as("w_end_us"),
+          col("event_type"), col("n"))),
     // --- relational plane (SURVEY §2.2-2.7) ---
     "q1_agg" -> ((s, d) => Relational.q1(s, d)),
     "q2_join" -> ((s, d) => Relational.q2(s, d)),
@@ -570,6 +583,32 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Append mode emits a window once the watermark (max event time − 1 h)
+    // passes its END — the last (open) day never lands in the sink
+    "str_windows_append" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        |d AS (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n
+        |FROM d, wm WHERE day + INTERVAL 1 DAY <= wm.w""".stripMargin,
+    // gaps-and-islands twin of session_window(ts, 30 min): a new session
+    // starts when the gap to the previous event (same type) is >= the gap
+    // (Spark merges strictly-inside events: ts < last_ts + gap);
+    // w_end = last event + gap. Integer microseconds end to end.
+    "str_sessions" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |o AS (SELECT event_type, us,
+        |             CASE WHEN lag(us) OVER (PARTITION BY event_type ORDER BY us) IS NULL
+        |                    OR us - lag(us) OVER (PARTITION BY event_type ORDER BY us) >= 1800000000
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT event_type, us,
+        |             sum(brk) OVER (PARTITION BY event_type ORDER BY us
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT min(us) AS w_start_us, max(us) + 1800000000 AS w_end_us,
+        |       event_type, count(*) AS n
+        |FROM s GROUP BY event_type, sid""".stripMargin,
     "str_append" ->
       """SELECT event_id, event_type,
         |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value

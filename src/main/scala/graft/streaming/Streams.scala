@@ -57,7 +57,7 @@ object Streams {
   def appendToTable(df: DataFrame, base: String, stage: String, keyCol: String,
                     checkpointDir: String,
                     onBatchCommitted: Long => Unit = _ => (),
-                    dedupeKeys: Boolean = true): Unit = {
+                    dedupeKeys: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
     // commitIds must be unique PER CHECKPOINT EPOCH: a lost/recreated
     // checkpoint restarts batchIds at 0, and bare `b<batchId>` ids would
     // collide with already-committed batches — the metadata guard would
@@ -84,6 +84,7 @@ object Streams {
       }
       .start()
     q.awaitTermination()
+    q // terminated; returned for progress/state metrics (recentProgress)
   }
 
   /** Stable random identifier stored at `<checkpointDir>/_graft_epoch` —
@@ -201,10 +202,75 @@ object Streams {
     val name = s"graft_str_windows_${drainSeq.incrementAndGet()}"
     drainToMemory(agg, name, OutputMode.Complete())
     // copy the result off the memory sink and drop the temp view so
-    // repeated calls in one session don't accumulate sink tables
+    // repeated calls in one session don't accumulate sink tables. The
+    // localCheckpoint DOES retain its (window-count-sized, ~KB) RDD blocks
+    // until the caller unpersists or the session ends — the price of
+    // returning a DataFrame that survives the sink drop; callers looping
+    // this in one long session should `.unpersist()` consumed results
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
     out
+  }
+
+  /**
+   * Watermark-driven APPEND-mode windowed aggregation into a durable sink —
+   * the shape an UNBOUNDED 100 TB stream needs: state holds only OPEN
+   * windows; once the watermark passes a window's end the row is emitted to
+   * the table and EVICTED from the state store (unlike the Complete-mode
+   * drain, whose state retains every window ever seen). Oracle-checkable
+   * (driver query str_windows_append): the committed table holds exactly
+   * the daily windows the final watermark (max event time − 1 h) closed —
+   * a deterministic batch GROUP BY with a watermark cutoff in DuckDB.
+   *
+   * The source is staged as 4 TS-RANGE files with strictly ascending
+   * modification times, so micro-batches (maxFilesPerTrigger=1) arrive in
+   * event-time order: the watermark advances between batches, earlier
+   * windows close while later files are still queued, and no event arrives
+   * behind the watermark (nothing is dropped as late). Returns the
+   * committed result and the per-batch state-store row counts (the spec
+   * asserts they stay bounded — eviction really happens).
+   */
+  def dailyCountsAppendDurable(spark: SparkSession, tablePath: String): (DataFrame, Seq[Long]) = {
+    val prefix = s"graft_str_winapp_${tablePath.replaceAll("[^a-zA-Z0-9]", "_")}_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(tablePath)))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val srcDir = root.resolve("src")
+    if (!java.nio.file.Files.exists(srcDir.resolve("_SUCCESS"))) {
+      graft.Fs.deleteRecursively(srcDir) // crashed half-write: rebuild
+      spark.read.parquet(tablePath).repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(srcDir.toString)
+      // FileStreamSource orders by (modificationTime, path): make the order
+      // DETERMINISTICALLY ascend with the ts ranges (equal mtimes would
+      // leave the batch order to filesystem timing)
+      val parts = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(srcDir)
+        try st.iterator().asScala.map(_.toString)
+          .filter(p => p.contains("part-") && p.endsWith(".parquet")).toSeq.sorted
+        finally st.close()
+      }
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(p),
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 2000L))
+      }
+    }
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val agg = parquetStream(spark, srcDir.toString, schema, Map("maxFilesPerTrigger" -> "1"))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
+      .withColumn("wk", concat_ws("|", col("day"), col("event_type")))
+    val base = root.resolve("tbl").toString
+    val q = appendToTable(agg, base, "daily", "wk", root.resolve("ckpt").toString)
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsTotal)
+    (graft.run.Checkpoint.committed(spark, base, "daily")
+      .select(col("day"), col("event_type"), col("n")), stateRows)
   }
 
   /**

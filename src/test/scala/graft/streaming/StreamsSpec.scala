@@ -129,6 +129,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(graft.run.Checkpoint.committed(spark, base, "ingest").count() == 400)
   }
 
+  test("append-mode windowed drain: watermark closes windows, state stays bounded, re-run no-op") {
+    // clear the fingerprint-keyed staging root so THIS run drains fresh
+    // (a prior session's checkpoint would make it a zero-batch no-op)
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val prefix = s"graft_str_winapp_${src.replaceAll("[^a-zA-Z0-9]", "_")}_"
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    graft.Fs.reapStaleSiblings(tmp.resolve(prefix + "nonexistent"), prefix)
+    val (got, stateRows) = Streams.dailyCountsAppendDurable(spark, src)
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val wm = events.agg(max($"ts")).head().getTimestamp(0).toInstant
+      .minusSeconds(3600)
+    val expected = events
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .where($"w.end".cast("timestamp") <= lit(java.sql.Timestamp.from(wm)))
+      .select(date_format($"w.start", "yyyy-MM-dd").as("day"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(expected.nonEmpty, "watermark cutoff left nothing — test data degenerate")
+    assert(got.select($"day", $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet == expected)
+    // the LAST (still-open) day must be absent — eviction-not-yet semantics
+    val lastDay = events.agg(date_format(max($"ts"), "yyyy-MM-dd")).head().getString(0)
+    assert(got.where($"day" === lastDay).isEmpty,
+      s"open window $lastDay must not be emitted in append mode")
+    // state stayed bounded: no batch held more rows than (days × types) and
+    // the final batch held LESS than the total window count (eviction ran)
+    val allWindows = expected.size + 5 // + the open last-day windows
+    assert(stateRows.nonEmpty && stateRows.forall(_ <= allWindows))
+    assert(stateRows.last < allWindows,
+      s"final state ${stateRows.last} shows no eviction (total windows $allWindows)")
+    // re-run against unchanged data: complete checkpoint, zero new batches
+    val (again, _) =
+      Streams.dailyCountsAppendDurable(spark, "/root/testdata/sf0.001/events.parquet")
+    assert(again.count() == got.count())
+  }
+
   test("session windows: events within the gap merge, a larger gap splits sessions") {
     def t(min: Int, sec: Int = 0) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:$sec%02d")
     // key "a": 10:00, 10:03, 10:06 (gaps 3min < 5min → ONE session 10:00-10:11),
