@@ -117,6 +117,7 @@ object SparkEntry {
     // table plane (§4.2/S12): IcebergLite CoW MERGE upsert, committed
     // table read back — exactly the anti-join ∪ updates the oracle states
     "tbl_merge" -> ((s, d) => Relational.tblMerge(s, d)),
+    "tbl_mor" -> ((s, d) => Relational.tblMor(s, d)),
     "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
@@ -627,6 +628,28 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey,
         |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
         |FROM merged""".stripMargin,
+    // merge-on-read: base %5, upsert batch 1 (%10, +1), then batch 2
+    // (%20, +2 — SUPERSEDES half of batch 1 — plus %5=1 inserts); last
+    // writer per key wins, exactly the sequence-number delete semantics
+    "tbl_mor" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |              FROM orders WHERE o_orderkey % 5 = 0),
+        |up1 AS (SELECT o_orderkey, o_custkey,
+        |               cast(floor(o_totalprice) + 1 AS double) AS o_totalprice
+        |        FROM orders WHERE o_orderkey % 10 = 0),
+        |up2 AS (SELECT o_orderkey, o_custkey,
+        |               cast(floor(o_totalprice) + 2 AS double) AS o_totalprice
+        |        FROM orders WHERE o_orderkey % 20 = 0
+        |        UNION ALL
+        |        SELECT o_orderkey, o_custkey, o_totalprice
+        |        FROM orders WHERE o_orderkey % 5 = 1),
+        |m1 AS (SELECT b.* FROM base b ANTI JOIN up1 u USING (o_orderkey)
+        |       UNION ALL SELECT * FROM up1),
+        |m2 AS (SELECT m.* FROM m1 m ANTI JOIN up2 u USING (o_orderkey)
+        |       UNION ALL SELECT * FROM up2)
+        |SELECT o_orderkey, o_custkey,
+        |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+        |FROM m2""".stripMargin,
     "q23_asof" ->
       """WITH clicks AS (SELECT event_id AS probe_id, user_id, ts FROM events
         |                WHERE event_type = 'click'),
@@ -1322,6 +1345,41 @@ object Relational {
       .unionByName(orders.where(col("o_orderkey") % 7 === 3)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
     IcebergLite.merge(s, table, updates, Seq("o_orderkey"), Seq("o_orderkey"), "m1")
+    IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** The table plane's MERGE-ON-READ upsert as a driver-oracled query —
+    * Iceberg-v2 equality deletes: the upsert commit writes ONLY the update
+    * rows plus a delete file of their keys (O(updates), no rewrite); the
+    * read path anti-merges deletes by sequence number. Same relational
+    * oracle as tbl_merge (the two strategies must agree on content);
+    * distinct update recipe so the two queries can't mask each other. */
+  def tblMor(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_mor_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    val orders = t(s, d, "orders")
+    if (IcebergLite.currentSnapshotId(table).isEmpty) {
+      val base = orders.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergLite.append(s, base, table, Seq("o_orderkey"), "base")
+    }
+    // batch 1 updates existing keys; batch 2 later SUPERSEDES some of them
+    // and inserts new keys — the read must resolve both by commit sequence
+    val up1 = orders.where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (floor(col("o_totalprice")) + 1).cast("double").as("o_totalprice"))
+    val up2 = orders.where(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (floor(col("o_totalprice")) + 2).cast("double").as("o_totalprice"))
+      .unionByName(orders.where(col("o_orderkey") % 5 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+    IcebergLite.mergeOnRead(s, table, up1, Seq("o_orderkey"), Seq("o_orderkey"), "mor1")
+    IcebergLite.mergeOnRead(s, table, up2, Seq("o_orderkey"), Seq("o_orderkey"), "mor2")
     IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
       floor(col("o_totalprice") * 100).as("price_c"))
   }

@@ -47,8 +47,14 @@ object MergeScale {
     val wideUp = spark.range(1000).select((col("id") * (n / 1000)).as("k"),
       lit("WIDE").as("v"), lit(-2L).as("w"))
     val wWide = timed(IcebergLite.merge(spark, t, wideUp, Seq("k"), Seq("k"), "wide"))
+    // (c) merge-on-read of the same wide key set: write cost is O(updates)
+    // regardless of spread — no data file rewritten, just updates + deletes
+    val morUp = spark.range(1000).select((col("id") * (n / 1000)).as("k"),
+      lit("MOR").as("v"), lit(-3L).as("w"))
+    val wMor = timed(IcebergLite.mergeOnRead(spark, t, morUp, Seq("k"), Seq("k"), "mor"))
     val rows = IcebergLite.read(spark, t).count()
     val (bBase, bNarrow, bWide) = (dirBytes("base"), dirBytes("narrow"), dirBytes("wide"))
+    val bMor = dirBytes("mor")
     graft.Fs.deleteRecursively(root)
     // write amplification = bytes this commit wrote / bytes of the whole
     // table: narrow should be ~1/nFiles, wide ~1 (every file touched)
@@ -56,7 +62,9 @@ object MergeScale {
       f""""narrow_merge_s":$wNarrow%.3f,"carried_files_narrow":$carriedNarrow,""" +
       f""""wide_merge_s":$wWide%.3f,"wide_over_narrow":${wWide / wNarrow}%.2f,""" +
       f""""write_amp_narrow":${bNarrow.toDouble / bBase}%.4f,""" +
-      f""""write_amp_wide":${bWide.toDouble / bBase}%.4f,"rows_after":$rows}""")
+      f""""write_amp_wide":${bWide.toDouble / bBase}%.4f,""" +
+      f""""mor_merge_s":$wMor%.3f,"write_amp_mor":${bMor.toDouble / bBase}%.6f,""" +
+      f""""rows_after":$rows}""")
     spark.stop()
   }
 }
