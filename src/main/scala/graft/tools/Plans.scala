@@ -126,6 +126,25 @@ object Plans {
       capture(mergeCur.join(mergeUpd.select(col("o_orderkey")).distinct(),
         Seq("o_orderkey"), "left_anti").unionByName(mergeUpd))))
 
+    // MoR read: the anti-merge plan mergeOnRead taxes every scan with —
+    // delete keys are dimension-sized, so they broadcast; data files stream
+    // map-side through per-sequence-group anti-joins
+    val morTbl = java.nio.file.Files.createTempDirectory("graft_plans_mor").resolve("t").toString
+    graft.table.IcebergLite.append(spark, mergeBase, morTbl, Seq("o_orderkey"), "c1")
+    graft.table.IcebergLite.mergeOnRead(spark, morTbl,
+      mergeBase.where(col("o_orderkey") % 10 === 0), Seq("o_orderkey"), Seq("o_orderkey"), "m1")
+    sections += (("IcebergLite merge-on-read scan (equality-delete anti-merge)",
+      "the O(updates)-write upsert's read-side cost: per-sequence-group " +
+        "anti-joins against the delete-key files, keys broadcast (never a " +
+        "shuffle of the data side); compact() resets the table to clean scans",
+      capture(graft.table.IcebergLite.read(spark, morTbl))))
+
+    sections += (("session windows (str_sessions)",
+      "gap-merge runs inside the aggregate: one keyed shuffle on the group " +
+        "key, session assembly map-side per key — no window-function " +
+        "pass over the raw events",
+      capture(graft.SparkEntry.queries("str_sessions")(spark, sfDir))))
+
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.tools.Plans)\n\n")
     sections.foreach { case (title, why, plan) =>
