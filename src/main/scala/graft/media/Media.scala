@@ -44,7 +44,9 @@ object Media {
 
   case class MediaMeta(width: Int, height: Int, channels: Int, n_bytes: Long)
 
-  /** STUB decode: parse the fake header. Real impl: image codec here. */
+  /** Decode the SYNTHETIC payload header (the fakePayload format — kept
+    * alongside the real TIFF/PNG codecs as the cheap opaque-binary path;
+    * the real decoders are [[decodeGeoTiffBandUdf]]/[[decodePngUdf]]). */
   def decodeMeta(bytes: Array[Byte]): MediaMeta = {
     require(bytes.length >= 5, "truncated media payload")
     val w = ((bytes(0) & 0xFF) << 8) | (bytes(1) & 0xFF)
@@ -204,11 +206,11 @@ object Media {
       NetCdf.writeClassic(Seq(("y", ys.length), ("x", xs.length)), vars))
   }
 
-  /** REAL image decode over PNG media files (S6 upgraded for one real
-    * format): binaryFile source → [[Png.decode]] (CRC-verified) → typed
-    * (width, height, channels) metadata + raw pixels. GeoTIFF remains the
-    * declared stub; the Spark-side shape (binary column in, struct meta +
-    * pixels out, per-file narrow partitioning) is identical for both. */
+  /** REAL image decode over PNG media files: binaryFile source →
+    * [[Png.decode]] (CRC-verified) → typed (width, height, channels)
+    * metadata + raw pixels. The GeoTIFF twin is [[decodeGeoTiffFiles]];
+    * the Spark-side shape (binary column in, struct meta + pixels out,
+    * per-file narrow partitioning) is identical for both. */
   val decodePngUdf = udf((bytes: Array[Byte]) => {
     val (w, h, ch, px) = Png.decode(bytes)
     (w, h, ch, px)

@@ -218,7 +218,13 @@ object IcebergLite {
       statsExprs.toSeq.sortBy(_._1).flatMap { case (n, (lo, hi)) =>
         Seq(min(lo).cast("string").as(s"min_$n"), max(hi).cast("string").as(s"max_$n"))
       }
-    val stats = spark.read.parquet(dataDir.toString)
+    // explicit PHYSICAL schema: skips the footer-inference job every commit
+    // would otherwise pay (data files store physical column names)
+    val physSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.map(f => f.copy(name = phys(f.name))))
+    val stats = spark.read.schema(physSchema).parquet(dataDir.toString)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), statAggs: _*)
       .collect()

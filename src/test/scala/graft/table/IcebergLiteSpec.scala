@@ -259,6 +259,24 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, t).count() == 51)
   }
 
+  test("merge runs in 3 jobs: the duplicate-key refusal is folded into the range probe") {
+    val t = tmpTable()
+    IcebergLite.append(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    spark.sparkContext.setJobGroup("graft-merge-jobcount", "merge job count")
+    IcebergLite.merge(spark, t, Seq((3L, "N3"), (99L, "N99")).toDF("k", "v"),
+      Seq("k"), Seq("k"), "m1")
+    spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-merge-jobcount").length
+    // THREE actions: probe (dups + key ranges in ONE agg), rewrite write,
+    // manifest stats (schema passed explicitly — no footer-inference job).
+    // AQE splits the two shuffling aggs into multiple jobs → 7 observed.
+    // The pre-round-5 separate duplicate groupBy/count ACTION added its own
+    // AQE-split jobs on top; this bound fails if it ever comes back.
+    assert(jobs <= 7, s"merge issued $jobs jobs, expected <= 7 (3 actions under AQE)")
+    assert(IcebergLite.read(spark, t).count() == 51)
+  }
+
   test("mergeOnRead: O(updates) write, equality deletes applied at read, compact resets") {
     val t = tmpTable()
     IcebergLite.append(spark,
