@@ -275,8 +275,11 @@ object Media {
   val multibandRoundtripUdf = udf((docRef: String, bandRefs: Seq[String]) => {
     val (w, h) = bandDims(docRef)
     val planes = bandRefs.map(r => bandPixels(r, w, h))
+    // zlevel 3: the round-trip/validator proof is compression-level
+    // agnostic and random pixels don't compress anyway — zlevel 6 doubled
+    // the deflate wall for identical coverage (full profile: GeoTiffSpec)
     val bytes = GeoTiff.encodeBands(w, h, planes, nodata = 0,
-      tileSize = 16, overviewLevels = 2, zlevel = 6)
+      tileSize = 16, overviewLevels = 2, zlevel = 3)
     val d = GeoTiff.decodeBands(bytes)
     val ok = d.bands.length == planes.length &&
       d.bands.zip(planes).forall { case (img, p) => img.pixels.sameElements(p) }
