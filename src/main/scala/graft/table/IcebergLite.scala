@@ -456,6 +456,61 @@ object IcebergLite {
       carryDeletes = Seq(DeleteEntry(delFile, nextId, physKeys)))
   }
 
+  /**
+   * Snapshot retention (Iceberg's `expire_snapshots`): drop all but the
+   * last `keepLast` snapshots and DELETE every data/delete file referenced
+   * only by the expired ones. This is the bound on the time-travel window —
+   * without it a 100 TB table's storage grows with every replacing commit
+   * forever (compaction/merge keep old files alive purely for history).
+   * Expired snapshot ids stop time-traveling; kept ones are untouched.
+   * Idempotent and crash-safe: a crash mid-delete leaves orphaned files
+   * that nothing references, and a re-run re-reaps them. Returns
+   * (expired snapshot ids, deleted file count).
+   */
+  def expireSnapshots(table: String, keepLast: Int): (Seq[Long], Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val all = snapshots(table)
+    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    if (expired.isEmpty) return (Nil, 0)
+    val keptSnaps = kept.flatMap(snapshotAt(table, _))
+    val referenced = keptSnaps.flatMap(s =>
+      s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
+    // normalize: manifest paths may carry a file: scheme prefix
+    def toFsPath(p: String) = Paths.get(p.stripPrefix("file:"))
+    val candidates = expired.flatMap(snapshotAt(table, _)).flatMap(s =>
+      s.files.map(_.path) ++ s.deletes.map(_.path)).distinct
+      .filterNot(referenced.contains)
+    var deleted = 0
+    candidates.foreach { p =>
+      if (Files.deleteIfExists(toFsPath(p))) deleted += 1
+    }
+    // prune commit dirs left with only write residue (_SUCCESS, .crc):
+    // once no .parquet remains, nothing kept can reference the dir
+    candidates.map(p => toFsPath(p).getParent).distinct.foreach { d =>
+      try if (d != null && Files.exists(d)) {
+        val st = Files.list(d)
+        val hasData = try st.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+                      finally st.close()
+        if (!hasData) graft.Fs.deleteRecursively(d)
+      } catch { case _: java.io.IOException => () }
+    }
+    expired.foreach(id => Files.deleteIfExists(metaDir(table).resolve(s"snapshot-$id.json")))
+    (expired, deleted)
+  }
+
+  /** Rollback (Iceberg's `rollback_to_snapshot`): a METADATA-ONLY commit
+    * that restores the table to snapshot `id`'s exact state (files, schema,
+    * renames, pending deletes) under a NEW snapshot id — history is never
+    * rewritten, so the rolled-back-over snapshots still time-travel and a
+    * second rollback can restore them. O(1) at any table size. */
+  def rollbackTo(table: String, id: Long): Snapshot = {
+    val target = snapshotAt(table, id).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $id in $table"))
+    val cur = currentSnapshotId(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    commitSnapshot(table, target.copy(id = cur + 1, parent = cur))
+  }
+
   private def surviving(snap: Snapshot, prune: Map[String, (Double, Double)],
                         pruneStr: Map[String, (String, String)]): Seq[FileEntry] =
     snap.files.filter { f =>

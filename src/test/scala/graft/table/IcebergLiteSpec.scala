@@ -379,6 +379,52 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(prunedRows == fullRows && fullRows == 20)
   }
 
+  test("expireSnapshots: unreferenced files deleted, kept history intact, idempotent") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 20L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    IcebergLite.append(spark, (20L until 40L).map(i => (i, s"b$i")).toDF("k", "v"), t, Seq("k"), "c2")
+    // replacing commits strand the c1/c2 files behind history-only refs
+    IcebergLite.compact(spark, t, Seq("k"), "comp1")
+    IcebergLite.merge(spark, t, Seq((5L, "M5")).toDF("k", "v"), Seq("k"), Seq("k"), "m1")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t, "data", "c1")))
+
+    val (expired, deleted) = IcebergLite.expireSnapshots(t, keepLast = 2)
+    assert(expired == Seq(0L, 1L) && deleted > 0)
+    // expired snapshots no longer time travel; kept ones still do
+    intercept[Exception](IcebergLite.readAt(spark, t, 0).count())
+    assert(IcebergLite.readAt(spark, t, 2).count() == 40)
+    val got = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got.size == 40 && got(5L) == "M5" && got(7L) == "a7")
+    // c1/c2's files (referenced by nothing kept) are really gone from disk
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, "data", "c1")))
+    // idempotent re-run: nothing left to expire
+    assert(IcebergLite.expireSnapshots(t, keepLast = 2) == ((Nil, 0)))
+    // files shared with kept snapshots are NEVER deleted: the merge commit
+    // carried comp1's untouched file by reference, and it must survive
+    assert(IcebergLite.readSnapshot(t).get.files.forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f.path.stripPrefix("file:")))))
+  }
+
+  test("rollbackTo: metadata-only restore; rolled-over history still travels") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    val snapA = IcebergLite.currentSnapshotId(t).get
+    IcebergLite.merge(spark, t, Seq((3L, "BAD")).toDF("k", "v"), Seq("k"), Seq("k"), "bad")
+    assert(IcebergLite.read(spark, t).as[(Long, String)].collect().toMap.apply(3L) == "BAD")
+
+    val rolled = IcebergLite.rollbackTo(t, snapA)
+    assert(rolled.id == 2 && rolled.parent == 1)
+    val got = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got.size == 10 && got(3L) == "a3")
+    // the bad commit still time-travels (history never rewritten)
+    assert(IcebergLite.readAt(spark, t, 1).as[(Long, String)]
+      .collect().toMap.apply(3L) == "BAD")
+    // table remains fully writable after rollback
+    IcebergLite.append(spark, Seq((100L, "z")).toDF("k", "v"), t, Seq("k"), "c2")
+    assert(IcebergLite.read(spark, t).count() == 11)
+    intercept[IllegalArgumentException](IcebergLite.rollbackTo(t, 99L))
+  }
+
   test("uncommitted data (no pointer swap) is invisible — crash atomicity") {
     val t = tmpTable()
     IcebergLite.append(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), "c1")
