@@ -191,17 +191,31 @@ object Bench {
       // startup lands in the timed stream wall, which is exactly what this
       // ratio claims to exclude
       fresh(); batchRun(); streamRun()
-      fresh()
-      val batchSinkWall = timed(batchRun())
-      val streamSinkWall = timed(streamRun())
-      val streamRows = sStream.read.parquet(outS).count()
-      val batchRows = sStream.read.parquet(outB).count()
-      require(streamRows == batchRows,
-        s"stream sink rows $streamRows != batch sink rows $batchRows")
+      // 3 interleaved (batch, stream) reps — the single-draw ratio swung
+      // 0.86–1.06 across builder runs; medians + a per-rep band state the
+      // claim the way the flagship protocol does
+      val batchWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val streamWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to 3).foreach { i =>
+        fresh()
+        batchWalls += timed(batchRun())
+        streamWalls += timed(streamRun())
+        if (i == 1) { // row-count equality verified once (identical every rep)
+          val streamRows = sStream.read.parquet(outS).count()
+          val batchRows = sStream.read.parquet(outB).count()
+          require(streamRows == batchRows,
+            s"stream sink rows $streamRows != batch sink rows $batchRows")
+        }
+      }
       fresh() // large outputs: never left on /tmp
       sStream.stop()
+      val batchSinkWall = median(batchWalls.toSeq)
+      val streamSinkWall = median(streamWalls.toSeq)
       val streamRatio = streamSinkWall / batchSinkWall
-      System.err.println(f"[bench-scale] stream-sink wall=$streamSinkWall%.3f batch-sink wall=$batchSinkWall%.3f ratio=$streamRatio%.3f")
+      val ratioPerRep = streamWalls.zip(batchWalls).map { case (s, b) => s / b }
+      val (ratioLo, ratioHi) = (ratioPerRep.min, ratioPerRep.max)
+      System.err.println(f"[bench-scale] stream-sink wall=$streamSinkWall%.3f batch-sink " +
+        f"wall=$batchSinkWall%.3f ratio=$streamRatio%.3f [$ratioLo%.3f, $ratioHi%.3f]")
       val Seq((cN, _, _), (c4N, _, _)) = results
       // variance band: per-interleaved-round paired efficiency (round i's N
       // wall vs round i's 4N wall) — states the run-to-run spread instead of
@@ -281,7 +295,8 @@ object Bench {
           f""""skew_rounds_kept":${skewKept.size},"skew_reps":$skewReps,""" +
           f""""skew_scenes_per_sec_min":$skewRateLo%.1f,"skew_scenes_per_sec_max":$skewRateHi%.1f,""" +
           f""""stream_sink_wall_s":$streamSinkWall%.3f,"batch_sink_wall_s":$batchSinkWall%.3f,""" +
-          f""""stream_vs_batch_sink_ratio":$streamRatio%.3f}"""
+          f""""stream_vs_batch_sink_ratio":$streamRatio%.3f,""" +
+          f""""stream_vs_batch_ratio_min":$ratioLo%.3f,"stream_vs_batch_ratio_max":$ratioHi%.3f}"""
       scalingMd =
         f"""## Flagship scaling (measured, median of $reps, warmup discarded)
            |
@@ -338,12 +353,13 @@ object Bench {
            |
            |Streaming flagship (same assignment through the streaming engine,
            |stream-static broadcast join, AvailableNow, durable parquet sink,
-           |local[${levels.last}]) vs a batch twin with the IDENTICAL sink:
-           |stream $streamSinkWall%.3f s vs batch $batchSinkWall%.3f s —
-           |**stream/batch wall ratio $streamRatio%.2f** at equal output
-           |(${nDocs} docs, row-count-verified equal sinks). This measures
-           |streaming THROUGHPUT on real work; str_windows' per-query wall
-           |is engine startup, not data.
+           |local[${levels.last}]) vs a batch twin with the IDENTICAL sink,
+           |3 interleaved reps: stream $streamSinkWall%.3f s vs batch
+           |$batchSinkWall%.3f s (medians) — **stream/batch wall ratio
+           |$streamRatio%.2f, per-rep band [$ratioLo%.2f, $ratioHi%.2f]**
+           |at equal output (${nDocs} docs, row-count-verified equal sinks).
+           |This measures streaming THROUGHPUT on real work; str_windows'
+           |per-query wall is engine startup, not data.
            |
            |### Why N=$cN (machine calibration)
            |

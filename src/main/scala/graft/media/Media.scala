@@ -143,6 +143,36 @@ object Media {
       }.toDF("doc_id", "band", "path", "n_bytes")
   }
 
+  /**
+   * The export-path sink twin (`utils/dc_import_export.py:90-139`
+   * `export_xarray_to_geotiff`): ONE multi-band GeoTIFF per doc at
+   * `dir/<doc_id>.tif`, all band planes in a single chunky-interleaved
+   * file ([[GeoTiff.encodeBands]]). `rows` carries (doc_id, bands:
+   * array<array<int>>, width, height) with every plane width×height.
+   * Distributed mapPartitions, one file per row, no shuffle; returns the
+   * manifest (doc_id, n_bands, path, n_bytes).
+   */
+  def writeMultibandFiles(rows: DataFrame, dir: String,
+                          tileSize: Int = GeoTiff.DefaultTileSize,
+                          overviewLevels: Int = GeoTiff.DefaultOverviewLevels,
+                          zlevel: Int = 9): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id").cast("string"), col("bands"), col("width"), col("height"))
+      .as[(String, Seq[Seq[Int]], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (doc, bands, w, h) =>
+          val bytes = GeoTiff.encodeBands(w, h, bands.map(_.toArray),
+            nodata = 0, tileSize = tileSize, overviewLevels = overviewLevels,
+            zlevel = zlevel)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          val f = java.nio.file.Paths.get(dir, s"$doc.tif")
+          java.nio.file.Files.write(f, bytes)
+          (doc, bands.length, f.toString, bytes.length.toLong)
+        }
+      }.toDF("doc_id", "n_bands", "path", "n_bytes")
+  }
+
   /** The reference's browse-image scale rule (`gdal_translate -ot Byte
     * -scale lo hi 0 255`, `dc_utilities.py:320-326`): linear map of
     * [lo, hi] onto [0, 255] with rounding and clamping. */

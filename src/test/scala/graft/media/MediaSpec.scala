@@ -37,6 +37,40 @@ class MediaSpec extends AnyFunSuite {
     assert(back.select($"meta.width").as[Int].collect().forall(_ == 8))
   }
 
+  test("multiband sink: one file per doc, all bands; binaryFile read-back decodes bit-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_mb").toString
+    val rnd = new scala.util.Random(19)
+    val (w, h) = (40, 30)
+    val docs = Seq("S2A_1", "LC08_2").map { doc =>
+      (doc, Seq.fill(4)(Seq.fill(w * h)(rnd.nextInt(0x10000))), w, h)
+    }
+    val manifest = Media.writeMultibandFiles(
+      docs.toDF("doc_id", "bands", "width", "height"), dir,
+      tileSize = 16, overviewLevels = 2, zlevel = 3)
+      .as[(String, Int, String, Long)].collect().sortBy(_._1)
+    assert(manifest.length == 2 && manifest.forall(_._2 == 4))
+    manifest.foreach { case (doc, _, path, n) =>
+      assert(path.endsWith(s"$doc.tif"), s"layout: $path")
+      assert(java.nio.file.Files.size(java.nio.file.Paths.get(path)) == n)
+    }
+    // read back through binaryFile + the multi-band decoder: every plane
+    // bit-exact, COG layout clean
+    val back = spark.read.format("binaryFile").load(s"$dir/*.tif")
+      .select($"path", $"content").as[(String, Array[Byte])].collect()
+    assert(back.length == 2)
+    back.foreach { case (path, bytes) =>
+      val doc = path.split('/').last.stripSuffix(".tif")
+      val want = docs.find(_._1 == doc).get._2
+      val d = GeoTiff.decodeBands(bytes)
+      assert(d.bands.length == 4)
+      d.bands.zip(want).foreach { case (img, plane) =>
+        assert(img.width == w && img.height == h)
+        assert(img.pixels.toSeq == plane)
+      }
+      assert(GeoTiff.validateCog(bytes).isEmpty)
+    }
+  }
+
   test("binaryFile source: payload files on disk flow through the decode pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_bin")
     val refs = Seq("a_blue.tif", "b_nir.tif", "c_swir1.tif")
