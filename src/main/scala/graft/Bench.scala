@@ -13,8 +13,8 @@ import java.nio.file.{Files, Paths}
  *    levels (`local[2]` = N and `local[8]` = 4N, same input parquet, shuffle
  *    partitions scaled proportionally, AQE on, runs interleaved). Reports
  *    scenes/sec at both and `efficiency = (rate_4N / rate_N) / 4` (target
- *    ≥ 0.8), plus the shuffled+salted skew path. One discarded warmup per
- *    level, medians of 3, per the protocol in BASELINE.md.
+ *    ≥ 0.8), plus the shuffled+salted skew path. Two discarded warmups per
+ *    level, medians over the rep count, per the protocol in BASELINE.md.
  *
  * 2. **Per-query timings** of every `SparkEntry.queries` entry on
  *    `SPARK_GRAFT_SF_DIR` at `SPARK_GRAFT_CPUS` (default 32).

@@ -1043,9 +1043,14 @@ object TrainQueries {
       .groupBy("doc_id")
       // band order is significant (Bands.byPlatform): sort by span offset
       .agg(expr("transform(sort_array(collect_list(struct(sp.offset, sp.media_ref))), r -> r.media_ref)").as("refs"))
-    refs
-      .withColumn("m", graft.media.Media.multibandRoundtripUdf(
-        concat(col("doc_id"), lit("_multi")), col("refs")))
+    // REPARTITION_BY_NUM: AQE would coalesce the tiny post-groupBy shuffle
+    // (5k rows, ~100 KB estimated) to ONE partition and run the heavy
+    // encode UDF single-threaded — the rows are small but each carries
+    // ~0.5 ms of codec work, the classic compute-heavy/byte-light skew
+    val m = graft.media.Media.multibandRoundtripUdf(
+      concat(col("doc_id"), lit("_multi")), col("refs"))
+    refs.repartition(64, col("doc_id"))
+      .select(col("doc_id"), m.as("m"))
       .select(col("doc_id"), col("m._1").as("width"), col("m._2").as("height"),
         col("m._3").as("n_bands"), col("m._4").as("roundtrip_ok"),
         col("m._5").as("cog_ok"))

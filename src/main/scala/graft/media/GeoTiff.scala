@@ -57,6 +57,18 @@ object GeoTiff {
 
   final case class Image(width: Int, height: Int, pixels: Array[Int])
 
+  // zlib codecs are NATIVE objects whose construction (256 KB internal
+  // window allocation via JNI) costs more than compressing a small tile —
+  // a 5000-doc multi-band query makes ~30k of each. Pool per thread and
+  // reset() between uses; executor threads are long-lived, so the native
+  // footprint is bounded by thread count, never by tile count.
+  private val deflaterPool = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater = new Deflater()
+  }
+  private val inflaterPool = new ThreadLocal[Inflater] {
+    override def initialValue(): Inflater = new Inflater()
+  }
+
   /** Average-resampled decimation of the FULL-RES image by `f` (GDAL
     * `Resampling.average`): each output pixel is the rounded mean of its
     * f×f source block (edge blocks partial). */
@@ -93,9 +105,10 @@ object GeoTiff {
     * 16-bit, zlib at `zlevel`. */
   private def compressTile(bands: Seq[Image], tx: Int, ty: Int, tw: Int, th: Int,
                            nodata: Int, zlevel: Int): Array[Byte] = {
-    val nb = bands.length
-    val width = bands.head.width
-    val height = bands.head.height
+    val bandArr = bands.toArray // O(1) per-sample indexing whatever Seq arrives
+    val nb = bandArr.length
+    val width = bandArr(0).width
+    val height = bandArr(0).height
     val raw = new Array[Byte](tw * th * nb * 2)
     val prev = new Array[Int](nb)
     var r = 0
@@ -107,7 +120,7 @@ object GeoTiff {
         val sx = tx * tw + c
         var b = 0
         while (b < nb) {
-          val v = if (sy < height && sx < width) bands(b).pixels(sy * width + sx)
+          val v = if (sy < height && sx < width) bandArr(b).pixels(sy * width + sx)
                   else nodata
           val d = if (c == 0) v else (v - prev(b)) & 0xFFFF // predictor 2
           prev(b) = v
@@ -120,12 +133,13 @@ object GeoTiff {
       }
       r += 1
     }
-    val defl = new Deflater(zlevel)
+    val defl = deflaterPool.get()
+    defl.setLevel(zlevel) // applied by the reset() below (zlib contract)
+    defl.reset()
     defl.setInput(raw); defl.finish()
     val out = new ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
-    defl.end()
     out.toByteArray
   }
 
@@ -389,7 +403,8 @@ object GeoTiff {
     offs.indices.foreach { t =>
       val (off, cnt) = (offs(t), counts(t))
       require(off + cnt <= r.b.length, s"tile $t extends past EOF")
-      val inf = new Inflater()
+      val inf = inflaterPool.get()
+      inf.reset()
       inf.setInput(r.b, off.toInt, cnt.toInt)
       val raw = new Array[Byte](tw * th * nb * 2)
       var done = 0
@@ -401,7 +416,6 @@ object GeoTiff {
         }
         done += k
       }
-      inf.end()
       require(done == raw.length, s"tile $t: short inflate ($done of ${raw.length})")
       val ty = t / cols
       val tx = t % cols

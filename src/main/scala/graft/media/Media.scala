@@ -264,7 +264,14 @@ object Media {
     * data. Everything downstream of this is the real codec. */
   def bandPixels(mediaRef: String, w: Int, h: Int): Array[Int] = {
     var s: Long = mediaRef.hashCode.toLong * 2654435761L + 1
-    Array.fill(w * h) { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; (s & 0xFFFF).toInt }
+    val out = new Array[Int](w * h)
+    var i = 0
+    while (i < out.length) { // same xorshift stream; Array.fill's per-cell
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17 // closure call was ~half the
+      out(i) = (s & 0xFFFF).toInt // synth wall at 30M px (ProbeMultiband)
+      i += 1
+    }
+    out
   }
 
   /** REAL tiled-GeoTIFF payload for a media_ref: deterministic pixels
