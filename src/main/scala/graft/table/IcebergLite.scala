@@ -203,16 +203,34 @@ object IcebergLite {
                     keepPrev: Boolean = true,
                     statsExprs: Map[String, (Column, Column)] = Map.empty,
                     carryFiles: Seq[FileEntry] = Nil,
-                    carryDeletes: Seq[DeleteEntry] = Nil): Snapshot = {
+                    carryDeletes: Seq[DeleteEntry] = Nil,
+                    autoStats: Boolean = true): Snapshot = {
     val dataDir = Paths.get(table, "data", commitId)
     val prev = readSnapshot(table)
     val phys = prev.map(s => s.physical _).getOrElse(identity[String] _)
+    // Auto-stats (Iceberg's write.metadata.metrics default): a commit with
+    // NO explicit stats request still indexes every top-level atomic column
+    // (capped at 32 for metadata size), so pruned reads and file-targeted
+    // MERGE work on tables written before the caller thought about stats.
+    // Explicit statsCols/statsExprs keep full control when given;
+    // autoStats = false opts out entirely (and models pre-auto-stats
+    // tables in specs).
+    val effStatsCols =
+      if (statsCols.nonEmpty || statsExprs.nonEmpty || !autoStats) statsCols
+      else {
+        import org.apache.spark.sql.types._
+        DataType.fromJson(schemaJson).asInstanceOf[StructType].fields.collect {
+          case f if f.dataType.isInstanceOf[NumericType] ||
+            f.dataType == StringType || f.dataType == BooleanType ||
+            f.dataType == DateType || f.dataType == TimestampType => f.name
+        }.take(32).toSeq
+      }
     // one-pass per-file stats; plain statsCols index the column itself,
     // statsExprs carry (per-row lo, per-row hi) Columns for derived values
     // — e.g. min/max over a nested array field, which prunes band-filter
     // scans at the file level without any flat column materialized
-    val statNames = statsCols ++ statsExprs.keys.toSeq.sorted
-    val statAggs = statsCols.flatMap(c =>
+    val statNames = effStatsCols ++ statsExprs.keys.toSeq.sorted
+    val statAggs = effStatsCols.flatMap(c =>
       Seq(min(col(phys(c))).cast("string").as(s"min_$c"),
         max(col(phys(c))).cast("string").as(s"max_$c"))) ++
       statsExprs.toSeq.sortBy(_._1).flatMap { case (n, (lo, hi)) =>

@@ -240,11 +240,13 @@ class IcebergLiteSpec extends AnyFunSuite {
 
   test("merge on a stat-less table is conservative but SELF-HEALING: rewrite collects key stats") {
     val t = tmpTable()
-    // no key stats at all → first merge cannot prune (full rewrite, still correct)
+    // no key stats at all (autoStats off = a table written before stats
+    // existed) → first merge cannot prune (full rewrite, still correct)
     IcebergLite.writeData((0L until 50L).map(i => (i, s"a$i")).toDF("k", "v")
       .repartitionByRange(2, $"k"), t, "c1")
     IcebergLite.commitWritten(spark,
-      (0L until 1L).map(i => (i, "x")).toDF("k", "v").schema.json, t, Seq.empty, "c1")
+      (0L until 1L).map(i => (i, "x")).toDF("k", "v").schema.json, t, Seq.empty, "c1",
+      autoStats = false)
     assert(IcebergLite.readSnapshot(t).get.files.forall(_.min.isEmpty))
     IcebergLite.merge(spark, t, Seq((3L, "B3")).toDF("k", "v"), Seq("k"), Seq.empty, "m1")
     val afterFirst = IcebergLite.readSnapshot(t).get
@@ -257,6 +259,30 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(m1Paths.subsetOf(afterSecond.files.map(_.path).toSet),
       "disjoint insert-only merge must carry every existing file by reference")
     assert(IcebergLite.read(spark, t).count() == 51)
+  }
+
+  test("auto-stats: a stats-naive append still yields prunable manifests and file-targeted merge") {
+    val t = tmpTable()
+    // caller never names statsCols — auto-collection indexes the atomic columns
+    IcebergLite.append(spark,
+      (0L until 100L).map(i => (i, s"lo$i")).toDF("k", "v").repartitionByRange(2, $"k"),
+      t, Seq.empty, "c1")
+    IcebergLite.append(spark,
+      (1000L until 1100L).map(i => (i, s"hi$i")).toDF("k", "v").repartitionByRange(2, $"k"),
+      t, Seq.empty, "c2")
+    val snap = IcebergLite.readSnapshot(t).get
+    assert(snap.files.forall(f => f.min.contains("k") && f.min.contains("v")),
+      "auto-stats must index every atomic column")
+    // pruned read works without any explicit stats request ever made
+    assert(IcebergLite.selectedFiles(t, Map("k" -> (0.0, 50.0)))
+      .forall(_.contains("/data/c1/")))
+    // and a merge touching only the hi range carries the lo files by reference
+    val loPaths = snap.files.filter(_.path.contains("/data/c1/")).map(_.path).toSet
+    val after = IcebergLite.merge(spark, t,
+      Seq((1003L, "NEW")).toDF("k", "v"), Seq("k"), Seq.empty, "m1")
+    assert(loPaths.subsetOf(after.files.map(_.path).toSet),
+      "auto-collected key stats must drive file-targeted merge")
+    assert(IcebergLite.read(spark, t).count() == 200)
   }
 
   test("merge runs in 3 jobs: the duplicate-key refusal is folded into the range probe") {
