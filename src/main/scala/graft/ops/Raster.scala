@@ -23,13 +23,25 @@ import graft.functions.GeoFunctions._
 object Raster {
 
   /** Pixel-center PIP mask. Grid: pixel (py, px) has center
-    * (x0 + px·dx + dx/2, y0 + py·dy + dy/2). */
+    * (x0 + px·dx + dx/2, y0 + py·dy + dy/2).
+    *
+    * The AOI WKT is parsed ONCE on the driver; a rectangular AOI (the
+    * overwhelmingly common case — scene footprints, tile extents, user
+    * bboxes) lowers to pure codegen'd BETWEEN arithmetic instead of a
+    * per-row point-WKT build + JTS PIP UDF — boundary-inclusive either
+    * way, so the two paths agree exactly. Non-rectangular geometries
+    * keep the prepared-geometry UDF. */
   def rasterizeMask(px: DataFrame, wkt: String,
                     x0: Double, y0: Double, dx: Double, dy: Double): DataFrame = {
     val cx = lit(x0) + col("px") * dx + dx / 2
     val cy = lit(y0) + col("py") * dy + dy / 2
-    px.withColumn("in_aoi",
-      stIntersectsUdf(lit(wkt), pointWktUdf(cx, cy)))
+    val aoi = graft.geom.Geo.fromWkt(wkt)
+    val mask =
+      if (aoi.isRectangle) {
+        val e = aoi.getEnvelopeInternal
+        cx >= e.getMinX && cx <= e.getMaxX && cy >= e.getMinY && cy <= e.getMaxY
+      } else stIntersectsUdf(lit(wkt), pointWktUdf(cx, cy))
+    px.withColumn("in_aoi", mask)
   }
 
   /** Reassemble long-form pixels into per-(key) raster rows: one output row
