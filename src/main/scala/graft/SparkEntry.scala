@@ -118,6 +118,7 @@ object SparkEntry {
     // table read back — exactly the anti-join ∪ updates the oracle states
     "tbl_merge" -> ((s, d) => Relational.tblMerge(s, d)),
     "tbl_mor" -> ((s, d) => Relational.tblMor(s, d)),
+    "tbl_incr" -> ((s, d) => Relational.tblIncr(s, d)),
     "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
@@ -650,6 +651,11 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey,
         |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
         |FROM m2""".stripMargin,
+    // incremental append scan: rows of commits 2..3 only (slices %11 = 1, 2)
+    "tbl_incr" ->
+      """SELECT o_orderkey, o_custkey,
+        |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+        |FROM orders WHERE o_orderkey % 11 IN (1, 2)""".stripMargin,
     "q23_asof" ->
       """WITH clicks AS (SELECT event_id AS probe_id, user_id, ts FROM events
         |                WHERE event_type = 'click'),
@@ -1387,6 +1393,34 @@ object Relational {
     IcebergLite.mergeOnRead(s, table, up2, Seq("o_orderkey"), Seq("o_orderkey"), "mor2")
     IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
       floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** Incremental append scan as a driver-oracled query (Iceberg's
+    * `incrementalAppendScan`, the process-only-new-data primitive of the
+    * reference's re-scan-driven pipeline runs): build an IcebergLite table
+    * in three append commits from disjoint deterministic `orders` slices,
+    * then read ONLY the rows added after the first commit. The delta is a
+    * metadata-only file selection (per-file commit seq), so the base
+    * commit's files are never opened. Crash-resumable: each append is
+    * guarded by the committed snapshot count, and appends are atomic. */
+  def tblIncr(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_incr_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    val orders = t(s, d, "orders")
+    def slice(m: Int) = orders.where(col("o_orderkey") % 11 === m)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Seq(0, 1, 2).zip(Seq("base", "day1", "day2")).foreach { case (m, cid) =>
+      if (IcebergLite.snapshots(table).size <= m)
+        IcebergLite.append(s, slice(m), table, Seq("o_orderkey"), cid)
+    }
+    val ids = IcebergLite.snapshots(table)
+    IcebergLite.readIncremental(s, table, ids.head, ids.last)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).as("price_c"))
   }
 
   /** Multi-format timestamp fallback parsing (`utils/prepLS.py:210-218`:

@@ -99,6 +99,51 @@ object IcebergLite {
     readFiles(spark, snap, snap.files)
   }
 
+  /**
+   * Incremental append scan (Iceberg's `incrementalAppendScan`): the rows
+   * ADDED by snapshots with id in `(fromId, toId]` — the primitive behind
+   * process-only-new-data pipeline runs, where a daily job over a 100 TB
+   * table opens only that day's files instead of re-scanning the table.
+   * `fromId = -1` means "since before the first snapshot". File selection
+   * is metadata-only: every file records its committing snapshot (`seq`),
+   * so the delta is exactly `seq ∈ (fromId, toId]` — no data file of an
+   * earlier commit is opened, or even listed into the scan.
+   *
+   * Every snapshot in the range must be row-ADDITIVE: parent files carried
+   * unchanged and no new equality deletes (plain appends, schema-evolution
+   * metadata commits). Replacing commits — compaction, CoW merge, MoR
+   * upsert, rollback — have no well-defined append delta, and the scan
+   * refuses them, exactly as Iceberg's incremental append scan does; read
+   * the full snapshot instead across such a boundary.
+   */
+  def readIncremental(spark: SparkSession, table: String,
+                      fromId: Long, toId: Long): DataFrame = {
+    val to = snapshotAt(table, toId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $toId in $table"))
+    var cur = to
+    var done = false
+    while (!done) {
+      if (cur.id == fromId) done = true
+      else {
+        require(cur.id > fromId, s"snapshot $fromId is not an ancestor of $toId in $table")
+        if (cur.parent < 0) {
+          require(fromId == -1L, s"snapshot $fromId is not an ancestor of $toId in $table")
+          done = true
+        } else {
+          val p = snapshotAt(table, cur.parent).getOrElse(throw new IllegalStateException(
+            s"snapshot ${cur.parent} of $table is missing (expired?) - incremental range unreadable"))
+          val curPaths = cur.files.map(_.path).toSet
+          require(p.files.forall(f => curPaths.contains(f.path))
+              && cur.deletes.size == p.deletes.size,
+            s"snapshot ${cur.id} of $table is a replacing or delete commit - incremental " +
+              "append scan is undefined across it; read the full snapshot instead")
+          cur = p
+        }
+      }
+    }
+    readFiles(spark, to, to.files.filter(f => f.seq > fromId && f.seq <= toId))
+  }
+
   /** Scan `files` under `snap`'s pinned schema, applying the snapshot's
     * equality deletes ([[mergeOnRead]]). Files are grouped by commit seq;
     * each group anti-joins the delete files committed AFTER it (delete seq

@@ -405,6 +405,43 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(prunedRows == fullRows && fullRows == 20)
   }
 
+  test("readIncremental: metadata-only append delta; refuses replacing/delete commits") {
+    val t = tmpTable()
+    val s0 = IcebergLite.append(spark,
+      (0L until 40L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    val s1 = IcebergLite.append(spark,
+      (100L until 130L).map(i => (i, s"b$i")).toDF("k", "v"), t, Seq("k"), "c2")
+    val s2 = IcebergLite.append(spark,
+      (200L until 220L).map(i => (i, s"c$i")).toDF("k", "v"), t, Seq("k"), "c3")
+    // delta (s0, s2] = commits 2+3 only; base files never in the scan
+    val inc = IcebergLite.readIncremental(spark, t, s0.id, s2.id)
+    assert(inc.count() == 50)
+    assert(inc.agg(min($"k")).as[Long].head() == 100L)
+    // (s1, s2] = commit 3 only
+    assert(IcebergLite.readIncremental(spark, t, s1.id, s2.id).count() == 20)
+    // fromId = -1: everything since table creation
+    assert(IcebergLite.readIncremental(spark, t, -1L, s2.id).count() == 90)
+    // empty range is an empty frame with the snapshot schema
+    assert(IcebergLite.readIncremental(spark, t, s2.id, s2.id).count() == 0)
+    // schema evolution in range is additive - the scan crosses it fine
+    IcebergLite.addColumn(t, "w", "string")
+    val s4 = IcebergLite.append(spark,
+      Seq((300L, "d", "x")).toDF("k", "v", "w"), t, Seq("k"), "c4")
+    assert(IcebergLite.readIncremental(spark, t, s2.id, s4.id).count() == 1)
+    // a replacing commit (compact) in range is refused
+    val s5 = IcebergLite.compact(spark, t, Seq("k"), "cc")
+    assertThrows[IllegalArgumentException](
+      IcebergLite.readIncremental(spark, t, s4.id, s5.id))
+    // a delete commit (MoR upsert) in range is refused
+    val s6 = IcebergLite.mergeOnRead(spark, t, Seq((0L, "A0", "y")).toDF("k", "v", "w"),
+      Seq("k"), Seq("k"), "mor1")
+    assertThrows[IllegalArgumentException](
+      IcebergLite.readIncremental(spark, t, s5.id, s6.id))
+    // non-ancestor ranges are refused
+    assertThrows[IllegalArgumentException](
+      IcebergLite.readIncremental(spark, t, s6.id, s5.id))
+  }
+
   test("expireSnapshots: unreferenced files deleted, kept history intact, idempotent") {
     val t = tmpTable()
     IcebergLite.append(spark, (0L until 20L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
