@@ -72,6 +72,8 @@ object SparkEntry {
     "media_decode" -> ((s, d) => TrainQueries.mediaDecode(s, d)),
     "media_validate" -> ((s, d) => TrainQueries.mediaValidate(s, d)),
     "media_multiband" -> ((s, d) => TrainQueries.mediaMultiband(s, d)),
+    "media_png" -> ((s, d) => TrainQueries.mediaPng(s, d)),
+    "media_netcdf" -> ((s, d) => TrainQueries.mediaNetcdf(s, d)),
     // streaming plane (S7/§2.10): the same aggregation THROUGH the
     // streaming engine (readStream → window agg → AvailableNow drain);
     // Complete mode emits every window, so the oracle is the plain batch
@@ -689,6 +691,20 @@ object SparkEntry {
          |       true AS roundtrip_ok, true AS cog_ok
          |FROM hs""".stripMargin
     },
+    "media_png" ->
+      s"""WITH ids AS (SELECT o_orderkey AS doc_id FROM orders WHERE o_orderkey % 30 = 0),
+         |refs AS (SELECT doc_id, concat(cast(doc_id AS varchar), '_png') AS ref FROM ids),
+         |hs AS (SELECT doc_id, ${graft.media.Media.hashCodeSql("ref")} AS h FROM refs)
+         |SELECT cast(doc_id AS varchar) AS doc_id,
+         |       cast(16 + abs(h % 17) AS int) AS width,
+         |       cast(16 + abs(h % 13) AS int) AS height,
+         |       3 AS channels, true AS roundtrip_ok
+         |FROM hs""".stripMargin,
+    "media_netcdf" ->
+      s"""WITH px AS (${ops.Pixels.pixelsSql})
+         |SELECT py, px,
+         |       cast(sum(CASE WHEN red2 = -9999 THEN 0 ELSE red2 END) AS bigint) AS v
+         |FROM px GROUP BY py, px""".stripMargin,
     "px_rasterize" ->
       s"""WITH px AS (${ops.Pixels.pixelsSql})
          |SELECT l_orderkey, l_linenumber, py, px,
@@ -1060,6 +1076,70 @@ object TrainQueries {
       .select(col("doc_id"), col("m._1").as("width"), col("m._2").as("height"),
         col("m._3").as("n_bands"), col("m._4").as("roundtrip_ok"),
         col("m._5").as("cog_ok"))
+  }
+
+  /** S14's browse-PNG export as a driver-oracled query: per doc, RGB bytes
+    * flow through the REAL distributed file sink ([[Media.writePngBrowse]]:
+    * one PNG per doc, mapPartitions, no shuffle) and back through the REAL
+    * binaryFile source + CRC-checked decode ([[Media.decodePngFiles]]);
+    * roundtrip_ok compares the decoded bytes against the generator. Dims
+    * derive from the doc ref hash (DuckDB-computable); only a correct
+    * encoder → sink → source → decoder chain can set the boolean. Staging
+    * is fingerprint-keyed with a _DONE marker, so re-runs skip the write. */
+  def mediaPng(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val prefix = "graft_media_png_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = JPaths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(JPaths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val dir = root.resolve("png").toString
+    val done = root.resolve("_DONE")
+    if (!JFiles.exists(done)) {
+      val rows = graft.model.SynthCorpus.scenesFromOrders(s, d)
+        .where(col("doc_id") % 30 === 0)
+        .select(col("doc_id").cast("string").as("doc_id"),
+          graft.media.Media.pngPixelsUdf(concat(col("doc_id").cast("string"), lit("_png"))).as("m"))
+        .select(col("doc_id"), col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("pixels"))
+      graft.media.Media.writePngBrowse(rows, dir).count() // force the distributed write
+      JFiles.createDirectories(root)
+      JFiles.write(done, Array.emptyByteArray)
+    }
+    graft.media.Media.decodePngFiles(s, dir + "/*/browse.png")
+      .withColumn("doc_id", element_at(split(col("path"), "/"), -2))
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        graft.media.Media.pngMatchesUdf(concat(col("doc_id"), lit("_png")),
+          col("pixels")).as("roundtrip_ok"))
+  }
+
+  /** S13's NetCDF export as a driver-oracled query: a bounded (py, px)
+    * composite grid flows through REAL classic CDF-1 bytes
+    * ([[Media.exportGridNetcdf]] → [[graft.media.NetCdf.readClassic]]) and
+    * the query returns what the FILE says — matching the relational
+    * GROUP BY oracle proves the codec, the coordinate variables, and the
+    * dense-grid assembly. Cell value = Σ nodata-clamped red2: never null,
+    * never −9999, so present-cell vs fill is unambiguous. The grid is
+    * dimension-sized (≤ 64×64) by construction; the driver-side gather is
+    * the sink's documented design — the pixel table never funnels through. */
+  def mediaNetcdf(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val grid = graft.ops.Pixels.pixels(s, d).groupBy(col("py"), col("px"))
+      .agg(sum(when(col("red2") === -9999, 0).otherwise(col("red2")))
+        .cast("double").as("v"))
+    val prefix = "graft_media_nc_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = JPaths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(JPaths.get(d, "lineitem.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    JFiles.createDirectories(root)
+    val f = root.resolve("grid.nc")
+    graft.media.Media.exportGridNetcdf(grid, "py", "px", Seq("v"), f.toString)
+    val (dims, vars) = graft.media.NetCdf.readClassic(JFiles.readAllBytes(f))
+    val (ys, xs, v) = (vars(0).values, vars(1).values, vars(2).values)
+    val nx = dims(1)._2
+    val rows = for { i <- ys.indices; j <- xs.indices
+      if v(i * nx + j) != -9999.0 } yield (ys(i).toLong, xs(j).toLong, v(i * nx + j).toLong)
+    import s.implicits._
+    rows.toDF("py", "px", "v")
   }
 
   /** Payload validation over a deterministically-corrupted media stream —

@@ -232,8 +232,13 @@ object Media {
       }
       NetCdf.Var(b, Seq(0, 1), a)
     }
+    // coordinate variables first, as xarray's to_netcdf writes them — a
+    // reader can map grid indices back to the original (y, x) keys even
+    // when the lattice is sparse or non-contiguous
+    val coords = Seq(NetCdf.Var("y", Seq(0), ys.map(_.toDouble)),
+      NetCdf.Var("x", Seq(1), xs.map(_.toDouble)))
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      NetCdf.writeClassic(Seq(("y", ys.length), ("x", xs.length)), vars))
+      NetCdf.writeClassic(Seq(("y", ys.length), ("x", xs.length)), coords ++ vars))
   }
 
   /** REAL image decode over PNG media files: binaryFile source →
@@ -321,6 +326,35 @@ object Media {
     val ok = d.bands.length == planes.length &&
       d.bands.zip(planes).forall { case (img, p) => img.pixels.sameElements(p) }
     (w, h, planes.length, ok, GeoTiff.validateCog(bytes).isEmpty)
+  })
+
+  /** Deterministic RGB browse bytes for a doc ref (same xorshift family as
+    * [[bandPixels]], byte-ranged) — the stand-in for byte-scaled composite
+    * pixels feeding [[writePngBrowse]]. */
+  def browsePixels(ref: String, w: Int, h: Int): Array[Byte] = {
+    var s: Long = ref.hashCode.toLong * 2654435761L + 1
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < out.length) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      out(i) = (s & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** (width, height, rgb bytes) for a doc ref — feeds the PNG sink. */
+  val pngPixelsUdf = udf((ref: String) => {
+    val (w, h) = bandDims(ref)
+    (w, h, browsePixels(ref, w, h))
+  })
+
+  /** Do decoded PNG bytes match the ref's generator exactly? Only a correct
+    * encode → file sink → binaryFile source → CRC-checked decode chain can
+    * return true. */
+  val pngMatchesUdf = udf((ref: String, px: Array[Byte]) => {
+    val (w, h) = bandDims(ref)
+    java.util.Arrays.equals(px, browsePixels(ref, w, h))
   })
 
   /** Real GeoTIFF read path over band files: binaryFile source →

@@ -166,14 +166,17 @@ class PngNetcdfSpec extends AnyFunSuite {
     Media.exportGridNetcdf(grid, "py", "px", Seq("mean_v"), path)
     val (dims, vars) = NetCdf.readClassic(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
     val (ny, nx) = (dims(0)._2, dims(1)._2)
-    assert(dims.map(_._1) == Seq("y", "x") && vars.map(_.name) == Seq("mean_v"))
+    assert(dims.map(_._1) == Seq("y", "x") && vars.map(_.name) == Seq("y", "x", "mean_v"))
     val expected = grid.select($"py".cast("long"), $"px".cast("long"), $"mean_v".cast("double"))
       .as[(Long, Long, Option[Double])].collect()
     assert(expected.length <= ny * nx)
     val ys = expected.map(_._1).distinct.sorted
     val xs = expected.map(_._2).distinct.sorted
+    // coordinate variables recover the original keys (xarray coords)
+    assert(vars(0).values.toSeq == ys.map(_.toDouble).toSeq)
+    assert(vars(1).values.toSeq == xs.map(_.toDouble).toSeq)
     expected.foreach { case (y, x, v) =>
-      val got = vars(0).values(ys.indexOf(y) * nx + xs.indexOf(x))
+      val got = vars(2).values(ys.indexOf(y) * nx + xs.indexOf(x))
       assert(got == v.getOrElse(-9999.0), s"($y,$x): $got != $v") // null → nodata fill
     }
   }
