@@ -121,6 +121,7 @@ object SparkEntry {
     "tbl_merge" -> ((s, d) => Relational.tblMerge(s, d)),
     "tbl_mor" -> ((s, d) => Relational.tblMor(s, d)),
     "tbl_incr" -> ((s, d) => Relational.tblIncr(s, d)),
+    "tbl_travel" -> ((s, d) => Relational.tblTravel(s, d)),
     "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
@@ -658,6 +659,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey,
         |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
         |FROM orders WHERE o_orderkey % 11 IN (1, 2)""".stripMargin,
+    // time travel to the second commit: slices %11 = 0, 1 (commit 3 invisible)
+    "tbl_travel" ->
+      """SELECT o_orderkey, o_custkey,
+        |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+        |FROM orders WHERE o_orderkey % 11 IN (0, 1)""".stripMargin,
     "q23_asof" ->
       """WITH clicks AS (SELECT event_id AS probe_id, user_id, ts FROM events
         |                WHERE event_type = 'click'),
@@ -1483,7 +1489,12 @@ object Relational {
     * metadata-only file selection (per-file commit seq), so the base
     * commit's files are never opened. Crash-resumable: each append is
     * guarded by the committed snapshot count, and appends are atomic. */
-  def tblIncr(s: SparkSession, d: String): DataFrame = {
+  /** The three-commit staged table shared by tbl_incr and tbl_travel:
+    * disjoint deterministic `orders` slices (%11 = 0, 1, 2) appended as
+    * separate snapshots. Crash-resumable: each append is guarded by the
+    * committed snapshot count, and appends are atomic. Returns (table path,
+    * snapshot ids oldest-first). */
+  private def stagedIncrTable(s: SparkSession, d: String): (String, Seq[Long]) = {
     import graft.table.IcebergLite
     val prefix = "graft_tbl_incr_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
@@ -1497,8 +1508,24 @@ object Relational {
       if (IcebergLite.snapshots(table).size <= m)
         IcebergLite.append(s, slice(m), table, Seq("o_orderkey"), cid)
     }
-    val ids = IcebergLite.snapshots(table)
-    IcebergLite.readIncremental(s, table, ids.head, ids.last)
+    (table, IcebergLite.snapshots(table))
+  }
+
+  def tblIncr(s: SparkSession, d: String): DataFrame = {
+    val (table, ids) = stagedIncrTable(s, d)
+    graft.table.IcebergLite.readIncremental(s, table, ids.head, ids.last)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** Snapshot time travel as a driver-oracled query (Iceberg's
+    * `VERSION AS OF`): the table exactly as of the SECOND commit — later
+    * files invisible. Shares [[stagedIncrTable]]'s staging, so the two
+    * queries cross-check the same lineage from both ends: tbl_travel sees
+    * commits 1..2, tbl_incr the complement 2..3. */
+  def tblTravel(s: SparkSession, d: String): DataFrame = {
+    val (table, ids) = stagedIncrTable(s, d)
+    graft.table.IcebergLite.readAt(s, table, ids(1))
       .select(col("o_orderkey"), col("o_custkey"),
         floor(col("o_totalprice") * 100).as("price_c"))
   }
