@@ -139,6 +139,26 @@ object Plans {
         "shuffle of the data side); compact() resets the table to clean scans",
       capture(graft.table.IcebergLite.read(spark, morTbl))))
 
+    // px_rasterize: rect AOI lowered to codegen'd BETWEEN — no UDF in the mask
+    sections += (("px_rasterize (rectangular-AOI fast path)",
+      "the AOI mask is pure Column arithmetic inside whole-stage codegen — " +
+        "no per-row point-WKT build / JTS PIP UDF for rectangular AOIs " +
+        "(general geometries keep the prepared-geometry UDF path; " +
+        "RasterSpec proves the two agree bit-for-bit)",
+      capture(graft.SparkEntry.queries("px_rasterize")(spark, sfDir))))
+
+    // incremental append scan: the physical plan is a parquet scan over
+    // ONLY the delta files — the base commit never enters the file list
+    val incrTbl = java.nio.file.Files.createTempDirectory("graft_plans_incr").resolve("t").toString
+    val s0 = graft.table.IcebergLite.append(spark, mergeBase, incrTbl, Seq("o_orderkey"), "c1")
+    val s1 = graft.table.IcebergLite.append(spark,
+      mergeBase.where(col("o_orderkey") % 100 === 0), incrTbl, Seq("o_orderkey"), "c2")
+    sections += (("IcebergLite incremental append scan (tbl_incr)",
+      "process-only-new-data: the scan's file list holds ONLY the files of " +
+        "commits in (from, to] — a metadata-only selection by per-file " +
+        "commit seq; the base commit's files are not opened or listed",
+      capture(graft.table.IcebergLite.readIncremental(spark, incrTbl, s0.id, s1.id))))
+
     sections += (("session windows (str_sessions)",
       "gap-merge runs inside the aggregate: one keyed shuffle on the group " +
         "key, session assembly map-side per key — no window-function " +
