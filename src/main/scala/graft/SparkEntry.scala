@@ -1091,7 +1091,14 @@ object TrainQueries {
     * roundtrip_ok compares the decoded bytes against the generator. Dims
     * derive from the doc ref hash (DuckDB-computable); only a correct
     * encoder → sink → source → decoder chain can set the boolean. Staging
-    * is fingerprint-keyed with a _DONE marker, so re-runs skip the write. */
+    * is fingerprint-keyed with a _DONE marker, so re-runs skip the write.
+    *
+    * The read-back is MANIFEST-driven ([[graft.media.Media.readManifestFiles]]
+    * over the manifest the sink returns), not a `binaryFile` glob: a glob
+    * stats every per-doc directory on the driver — ~11 s for 5.5k files
+    * here, unbounded at 100 TB — while the manifest read is ~1 s and fully
+    * parallel. (The binaryFile source itself is driver-oracled separately
+    * in media_decode and spec'd for PNG in PngNetcdfSpec.) */
   def mediaPng(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     val prefix = "graft_media_png_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
@@ -1099,6 +1106,7 @@ object TrainQueries {
       prefix + graft.Fs.listingFingerprint(JPaths.get(d, "orders.parquet")))
     graft.Fs.reapStaleSiblings(root, prefix)
     val dir = root.resolve("png").toString
+    val manifestDir = root.resolve("manifest.parquet").toString
     val done = root.resolve("_DONE")
     if (!JFiles.exists(done)) {
       val rows = graft.model.SynthCorpus.scenesFromOrders(s, d)
@@ -1107,15 +1115,19 @@ object TrainQueries {
           graft.media.Media.pngPixelsUdf(concat(col("doc_id").cast("string"), lit("_png"))).as("m"))
         .select(col("doc_id"), col("m._1").as("width"), col("m._2").as("height"),
           col("m._3").as("pixels"))
-      graft.media.Media.writePngBrowse(rows, dir).count() // force the distributed write
+      // the distributed write runs here; its manifest IS the read listing
+      graft.media.Media.writePngBrowse(rows, dir)
+        .write.mode("overwrite").parquet(manifestDir)
       JFiles.createDirectories(root)
       JFiles.write(done, Array.emptyByteArray)
     }
-    graft.media.Media.decodePngFiles(s, dir + "/*/browse.png")
+    graft.media.Media.readManifestFiles(s.read.parquet(manifestDir))
+      .select(col("path"), graft.media.Media.decodePngUdf(col("content")).as("dd"))
       .withColumn("doc_id", element_at(split(col("path"), "/"), -2))
-      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+      .select(col("doc_id"), col("dd._1").as("width"), col("dd._2").as("height"),
+        col("dd._3").as("channels"),
         graft.media.Media.pngMatchesUdf(concat(col("doc_id"), lit("_png")),
-          col("pixels")).as("roundtrip_ok"))
+          col("dd._4")).as("roundtrip_ok"))
   }
 
   /** S13's NetCDF export as a driver-oracled query: a bounded (py, px)

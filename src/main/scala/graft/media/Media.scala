@@ -328,6 +328,22 @@ object Media {
     (w, h, planes.length, ok, GeoTiff.validateCog(bytes).isEmpty)
   })
 
+  /** Distributed manifest-driven file read: (path, content) per manifest
+    * row via mapPartitions — the 100 TB shape for reading a sink's output
+    * back. A glob (`binaryFile` + InMemoryFileIndex) stats every candidate
+    * on the DRIVER; at millions of emitted files that listing dominates the
+    * wall (measured: 5.5k one-file dirs cost ~11 s to glob vs ~1 s to read
+    * by manifest). The sink already returns the manifest — it IS the
+    * listing, so the read stays metadata-free and fully parallel. */
+  def readManifestFiles(manifest: DataFrame): DataFrame = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    manifest.select(col("path").cast("string")).as[String]
+      .mapPartitions(it => it.map(p =>
+        (p, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))))
+      .toDF("path", "content")
+  }
+
   /** Deterministic RGB browse bytes for a doc ref (same xorshift family as
     * [[bandPixels]], byte-ranged) — the stand-in for byte-scaled composite
     * pixels feeding [[writePngBrowse]]. */
