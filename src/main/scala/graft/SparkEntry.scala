@@ -122,6 +122,7 @@ object SparkEntry {
     "tbl_mor" -> ((s, d) => Relational.tblMor(s, d)),
     "tbl_incr" -> ((s, d) => Relational.tblIncr(s, d)),
     "tbl_travel" -> ((s, d) => Relational.tblTravel(s, d)),
+    "str_incr" -> ((s, d) => Relational.strIncr(s, d)),
     "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
@@ -659,6 +660,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey,
         |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
         |FROM orders WHERE o_orderkey % 11 IN (1, 2)""".stripMargin,
+    // table-follow consumer: exactly-once union of the followed commits
+    "str_incr" ->
+      """SELECT o_orderkey, o_custkey,
+        |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+        |FROM orders WHERE o_orderkey % 11 IN (0, 1, 2)""".stripMargin,
     // time travel to the second commit: slices %11 = 0, 1 (commit 3 invisible)
     "tbl_travel" ->
       """SELECT o_orderkey, o_custkey,
@@ -1528,6 +1534,43 @@ object Relational {
     graft.table.IcebergLite.readIncremental(s, table, ids.head, ids.last)
       .select(col("o_orderkey"), col("o_custkey"),
         floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** Incremental table-follow as a driver-oracled query (the streaming
+    * read of a table): a consumer drains a source IcebergLite table's new
+    * snapshots through [[graft.streaming.Streams.drainTableIncrement]] into
+    * a TARGET table, committing each increment via `appendIdempotent` keyed
+    * by its snapshot range — the layered exactly-once contract. The source
+    * is staged in three commits with a drain after the first and after the
+    * third, so the consumer really follows (two increments, not one bulk
+    * copy); every step is crash-resumable and re-runs are metadata-only
+    * no-ops. The query returns the CONSUMER's table. */
+  def strIncr(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_str_incr_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val src = root.resolve("src").toString
+    val tgt = root.resolve("tgt").toString
+    val cp = root.resolve("consumer.cp").toString
+    val orders = t(s, d, "orders")
+    def slice(m: Int) = orders.where(col("o_orderkey") % 11 === m)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def drain(): Unit = graft.streaming.Streams.drainTableIncrement(s, src, cp) {
+      (df, from, to) =>
+        IcebergLite.appendIdempotent(s, df, tgt, Seq("o_orderkey"), s"inc_${from}_$to")
+    }
+    if (IcebergLite.snapshots(src).isEmpty)
+      IcebergLite.append(s, slice(0), src, Seq("o_orderkey"), "c1")
+    drain()
+    if (IcebergLite.snapshots(src).size <= 1)
+      IcebergLite.append(s, slice(1), src, Seq("o_orderkey"), "c2")
+    if (IcebergLite.snapshots(src).size <= 2)
+      IcebergLite.append(s, slice(2), src, Seq("o_orderkey"), "c3")
+    drain()
+    IcebergLite.read(s, tgt).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).as("price_c"))
   }
 
   /** Snapshot time travel as a driver-oracled query (Iceberg's

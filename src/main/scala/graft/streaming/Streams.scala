@@ -305,6 +305,38 @@ object Streams {
         date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"), col("value"))
   }
 
+  /**
+   * Incremental table-follow (the streaming read of an [[IcebergLite]]
+   * table — Iceberg's streaming source shape): consume the snapshots
+   * committed to `source` since this consumer's checkpoint, as ONE
+   * increment per call, then atomically advance the checkpoint. Returns
+   * the `(from, to]` snapshot range consumed, or None when caught up.
+   *
+   * The increment is [[graft.table.IcebergLite.readIncremental]] — a
+   * metadata-only file selection, so a follower of a 100 TB table opens
+   * only the new files each tick. Exactly-once, layered like
+   * [[appendToTable]]: `process` runs BEFORE the checkpoint advance, so a
+   * crash between the two re-delivers the same increment (at-least-once);
+   * a consumer that commits through
+   * [[graft.table.IcebergLite.appendIdempotent]] keyed by the increment
+   * range turns the replay into a metadata-checked no-op (exactly-once).
+   * Multiple consumers = multiple checkpoint files, each at its own pace.
+   */
+  def drainTableIncrement(spark: SparkSession, source: String, checkpointFile: String)
+                         (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val cp = Paths.get(checkpointFile)
+    val last = if (Files.exists(cp)) Files.readString(cp).trim.toLong else -1L
+    val cur = graft.table.IcebergLite.currentSnapshotId(source).getOrElse(return None)
+    if (cur == last) return None
+    process(graft.table.IcebergLite.readIncremental(spark, source, last, cur), last, cur)
+    if (cp.getParent != null) Files.createDirectories(cp.getParent)
+    val tmp = cp.resolveSibling(cp.getFileName.toString + ".tmp")
+    Files.writeString(tmp, cur.toString)
+    Files.move(tmp, cp, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Some((last, cur))
+  }
+
   /** Drain all available input as micro-batches into an in-memory table;
     * returns when the queue is empty (the worker's `while not q.empty()`). */
   def drainToMemory(df: DataFrame, queryName: String, outputMode: OutputMode): Unit = {

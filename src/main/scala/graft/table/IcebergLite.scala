@@ -213,6 +213,20 @@ object IcebergLite {
     commitWritten(spark, df.schema.json, table, statsCols, commitId)
   }
 
+  /** [[append]] with merge-style crash-retry idempotence: if ANY snapshot
+    * already references files under `data/<commitId>/`, the call is a
+    * metadata-checked no-op returning the current snapshot. The primitive a
+    * resumable incremental consumer needs — one commit per increment, keyed
+    * by the increment id, survives a crash between the table commit and the
+    * consumer's own checkpoint advance ([[graft.streaming.Streams.drainTableIncrement]]). */
+  def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
+                       statsCols: Seq[String], commitId: String): Snapshot = {
+    val already = snapshots(table).exists(id => snapshotAt(table, id)
+      .exists(_.files.exists(_.path.contains(s"/data/$commitId/"))))
+    if (already) readSnapshot(table).get
+    else append(spark, df, table, statsCols, commitId)
+  }
+
   /** Phase 1 of [[append]]: write the data files only (no snapshot yet).
     * Until [[commitWritten]] runs, the files are unreferenced — a crash here
     * is invisible to readers, exactly the SAC_DONE re-scan semantics.
