@@ -619,6 +619,87 @@ object IcebergLite {
     readFiles(spark, snap, surviving(snap, prune, pruneStr))
   }
 
+  /**
+   * Filter-pushdown read (what a DataSourceV2 `SupportsPushDownFilters`
+   * would hand the scan): extract conjunctive range constraints on
+   * top-level columns from `predicate`, prune the snapshot's files against
+   * the manifest min/max BEFORE the scan, then apply the full predicate to
+   * the surviving rows. The manifest is the coarse layer ABOVE parquet's
+   * own row-group skipping — at 100 TB it is the difference between
+   * opening every file and opening only candidates. Anything not
+   * expressible as a per-column bound (OR trees, UDFs, multi-column
+   * expressions) simply contributes no pruning — results are always the
+   * plain `read(...).where(predicate)`.
+   */
+  def readWhere(spark: SparkSession, table: String, predicate: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThan,
+      GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Expression, AttributeReference}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{DataType, StructType, NumericType, StringType}
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    def fieldType(c: String) = schema.fields.find(_.name == c).map(_.dataType)
+    val num = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val str = scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
+    def name(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litVal(e: Expression): Option[Any] = e match {
+      case Literal(v, _) => Option(v)
+      case _ => None
+    }
+    // closed-interval bounds are conservative for strict comparisons: a
+    // file whose max equals the open bound survives pruning and its rows
+    // are dropped by the residual predicate
+    def add(c: String, lo: Option[Any], hi: Option[Any]): Unit = fieldType(c) match {
+      case Some(_: NumericType) =>
+        val (l0, h0) = num.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
+        num(c) = (lo.map(_.toString.toDouble).map(math.max(l0, _)).getOrElse(l0),
+          hi.map(_.toString.toDouble).map(math.min(h0, _)).getOrElse(h0))
+      case Some(StringType) =>
+        val (l0, h0) = str.getOrElse(c, (None, None))
+        val lo1 = lo.map(_.toString).map(v => l0.filter(_ > v).getOrElse(v)).orElse(l0)
+        val hi1 = hi.map(_.toString).map(v => h0.filter(_ < v).getOrElse(v)).orElse(h0)
+        str(c) = (lo1, hi1)
+      case _ => () // non-atomic or unknown column: no pruning from this leaf
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a, b) =>
+        name(a).zip(litVal(b)).foreach { case (c, v) => add(c, Some(v), Some(v)) }
+        name(b).zip(litVal(a)).foreach { case (c, v) => add(c, Some(v), Some(v)) }
+      case GreaterThan(a, b) =>
+        name(a).zip(litVal(b)).foreach { case (c, v) => add(c, Some(v), None) }
+        name(b).zip(litVal(a)).foreach { case (c, v) => add(c, None, Some(v)) }
+      case GreaterThanOrEqual(a, b) =>
+        name(a).zip(litVal(b)).foreach { case (c, v) => add(c, Some(v), None) }
+        name(b).zip(litVal(a)).foreach { case (c, v) => add(c, None, Some(v)) }
+      case LessThan(a, b) =>
+        name(a).zip(litVal(b)).foreach { case (c, v) => add(c, None, Some(v)) }
+        name(b).zip(litVal(a)).foreach { case (c, v) => add(c, Some(v), None) }
+      case LessThanOrEqual(a, b) =>
+        name(a).zip(litVal(b)).foreach { case (c, v) => add(c, None, Some(v)) }
+        name(b).zip(litVal(a)).foreach { case (c, v) => add(c, Some(v), None) }
+      case _ => () // OR / UDF / complex leaf: contributes no bound
+    }
+    // analyze the predicate against an EMPTY frame carrying the snapshot
+    // schema: the analyzer resolves attributes/casts exactly as the real
+    // scan will, and the walk sees plain Catalyst comparison nodes (the
+    // raw Column is a lazy ColumnNode wrapper in Spark 4)
+    val analyzed = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .where(predicate).queryExecution.analyzed
+    analyzed.collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .foreach(walk)
+    // string ranges prune only when BOTH sides are constrained (equality
+    // or between) — there is no lexicographic +∞ to stand in for a
+    // missing side without risking a wrong prune
+    val strBoth = str.collect { case (c, (Some(lo), Some(hi))) => c -> (lo, hi) }
+    read(spark, table, num.toMap, strBoth.toMap).where(predicate)
+  }
+
   /** Files selected under pruning (for tests/metrics). */
   def selectedFiles(table: String, prune: Map[String, (Double, Double)],
                     pruneStr: Map[String, (String, String)] = Map.empty): Seq[String] = {

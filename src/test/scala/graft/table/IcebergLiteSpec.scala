@@ -405,6 +405,35 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(prunedRows == fullRows && fullRows == 20)
   }
 
+  test("readWhere: predicate bounds prune files at the manifest; results equal plain filter") {
+    val t = tmpTable()
+    IcebergLite.append(spark,
+      (0L until 100L).map(i => (i, s"lo$i")).toDF("k", "v").repartitionByRange(2, $"k"),
+      t, Seq("k", "v"), "c1")
+    IcebergLite.append(spark,
+      (1000L until 1100L).map(i => (i, s"hi$i")).toDF("k", "v").repartitionByRange(2, $"k"),
+      t, Seq("k", "v"), "c2")
+    // conjunctive numeric range: only c2's files are in the scan
+    val q = IcebergLite.readWhere(spark, t, $"k" >= 1000L && $"k" < 1050L)
+    assert(q.inputFiles.nonEmpty && q.inputFiles.forall(_.contains("/data/c2/")),
+      "pruned scan must not list c1 files")
+    assert(q.count() == 50)
+    // equality on a string column prunes too (point range)
+    val qs = IcebergLite.readWhere(spark, t, $"v" === "hi1005")
+    assert(qs.inputFiles.forall(_.contains("/data/c2/")))
+    assert(qs.count() == 1)
+    // literal-on-the-left comparisons extract the mirrored bound
+    val qm = IcebergLite.readWhere(spark, t, lit(1050L) <= $"k")
+    assert(qm.inputFiles.forall(_.contains("/data/c2/")))
+    assert(qm.count() == 50)
+    // an OR tree contributes no pruning but stays correct
+    val qo = IcebergLite.readWhere(spark, t, $"k" === 3L || $"k" === 1003L)
+    assert(qo.count() == 2)
+    // strict bound on a file edge: closed-interval pruning keeps the file,
+    // the residual predicate drops the row
+    assert(IcebergLite.readWhere(spark, t, $"k" > 99L && $"k" < 1000L).count() == 0)
+  }
+
   test("readIncremental: metadata-only append delta; refuses replacing/delete commits") {
     val t = tmpTable()
     val s0 = IcebergLite.append(spark,
