@@ -387,12 +387,25 @@ object GeoTiff {
     val h = ifd.long(TImageLength).get.toInt
     require(ifd.long(TCompression).contains(8L), "unsupported compression")
     val nb = ifd.long(TSamplesPerPixel).getOrElse(1L).toInt
-    require(nb >= 1, s"bad SamplesPerPixel $nb")
+    // upper bound mirrors the encoder's SHORT-typed tag; without it a corrupt
+    // header multiplies every pre-validation allocation below by nb
+    require(nb >= 1 && nb <= 0xFFFF, s"bad SamplesPerPixel $nb")
+    // allocation sanity BEFORE Array.fill: all plane/tile buffers must fit an
+    // Int, and no DEFLATE input can legitimately expand past ~1032x — a
+    // header demanding more decoded bytes than the whole file could supply
+    // is corrupt, not large
+    require(w > 0 && h > 0 && nb.toLong * w * h <= Int.MaxValue,
+      s"implausible dimensions ${w}x${h}x$nb for ${r.b.length}-byte input")
+    require(nb.toLong * w * h * 2L <= r.b.length.toLong * 1040L + 65536L,
+      s"decoded size ${nb.toLong * w * h * 2} implausible for ${r.b.length}-byte input")
     require(ifd.longs(r, TBitsPerSample).forall(_ == 16L), "only 16-bit supported")
     require(ifd.long(TPlanarConfig).forall(_ == 1L), "only chunky interleave supported")
     val predictor = ifd.long(TPredictor).getOrElse(1L).toInt
     val tw = ifd.long(TTileWidth).get.toInt
     val th = ifd.long(TTileLength).get.toInt
+    require(tw > 0 && th > 0 && tw.toLong * th * nb * 2L <= Int.MaxValue
+        && tw.toLong * th * nb * 2L <= r.b.length.toLong * 1040L + 65536L,
+      s"implausible tile shape ${tw}x${th}x$nb for ${r.b.length}-byte input")
     val offs = ifd.longs(r, TTileOffsets)
     val counts = ifd.longs(r, TTileByteCounts)
     require(offs.length == counts.length, "tile offset/count mismatch")

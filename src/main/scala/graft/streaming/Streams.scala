@@ -321,19 +321,70 @@ object Streams {
    * [[graft.table.IcebergLite.appendIdempotent]] keyed by the increment
    * range turns the replay into a metadata-checked no-op (exactly-once).
    * Multiple consumers = multiple checkpoint files, each at its own pace.
+   *
+   * `registerAs` additionally records this follower's position in the
+   * SOURCE table's consumer registry, so
+   * [[graft.table.IcebergLite.expireSnapshots]] refuses to expire the
+   * snapshots the next tick needs (the retention floor). `rebaseline`
+   * handles the other recovery path: when the incremental range is
+   * unreadable — snapshots expired past the checkpoint (unregistered
+   * follower), or a replacing commit (compaction / CoW merge) in range —
+   * `process` is handed the FULL current snapshot with `from = -1`.
+   * The consumer must treat `from == -1` on a non-fresh checkpoint as
+   * REPLACE-derived-state, not append (e.g. land it through
+   * [[graft.table.IcebergLite.overwrite]]); exactly-once then holds again
+   * from the new baseline.
    */
-  def drainTableIncrement(spark: SparkSession, source: String, checkpointFile: String)
+  def drainTableIncrement(spark: SparkSession, source: String, checkpointFile: String,
+                          registerAs: Option[String] = None, rebaseline: Boolean = false)
                          (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val cp = Paths.get(checkpointFile)
-    val last = if (Files.exists(cp)) Files.readString(cp).trim.toLong else -1L
-    val cur = graft.table.IcebergLite.currentSnapshotId(source).getOrElse(return None)
-    if (cur == last) return None
-    process(graft.table.IcebergLite.readIncremental(spark, source, last, cur), last, cur)
     if (cp.getParent != null) Files.createDirectories(cp.getParent)
-    val tmp = cp.resolveSibling(cp.getFileName.toString + ".tmp")
-    Files.writeString(tmp, cur.toString)
-    Files.move(tmp, cp, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val inflight = cp.resolveSibling(cp.getFileName.toString + ".inflight")
+    def writeAtomic(target: java.nio.file.Path, v: String): Unit = {
+      val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+      Files.writeString(tmp, v)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val last = if (Files.exists(cp)) Files.readString(cp).trim.toLong else -1L
+    // The increment's upper bound is PINNED to a sidecar BEFORE processing:
+    // if a previous call crashed after `process` but before the checkpoint
+    // advance, the replay re-delivers exactly the same (last, to] range even
+    // when the source has advanced since — so a consumer keyed on the range
+    // (appendIdempotent `inc_<from>_<to>`) absorbs the replay as a no-op
+    // instead of appending the already-committed rows again under a wider
+    // range's fresh commitId. A pin at or below the checkpoint is residue
+    // of a COMPLETED cycle (crash between the advance and the pin removal)
+    // and is discarded.
+    val pinned = if (Files.exists(inflight)) {
+      val v = Files.readString(inflight).trim.toLong
+      if (v > last) Some(v) else { Files.deleteIfExists(inflight); None }
+    } else None
+    var cur = pinned.getOrElse {
+      val c = graft.table.IcebergLite.currentSnapshotId(source).getOrElse(return None)
+      if (c == last) return None
+      writeAtomic(inflight, c.toString)
+      c
+    }
+    // the floor must be in place BEFORE the read: registering only after a
+    // successful tick would leave the in-flight range expirable
+    registerAs.foreach(n => graft.table.IcebergLite.registerConsumer(source, n, last))
+    val (df, from) =
+      try (graft.table.IcebergLite.readIncremental(spark, source, last, cur), last)
+      catch {
+        case e @ (_: IllegalStateException | _: IllegalArgumentException)
+          if rebaseline && last >= 0 =>
+          // range unreadable (expired past the checkpoint, or a replacing
+          // commit in range): re-baseline on the live current snapshot —
+          // the pinned id itself may be among the expired
+          cur = graft.table.IcebergLite.currentSnapshotId(source).getOrElse(throw e)
+          (graft.table.IcebergLite.readAt(spark, source, cur), -1L)
+      }
+    process(df, from, cur)
+    writeAtomic(cp, cur.toString)
+    Files.deleteIfExists(inflight)
+    registerAs.foreach(n => graft.table.IcebergLite.registerConsumer(source, n, cur))
     Some((last, cur))
   }
 

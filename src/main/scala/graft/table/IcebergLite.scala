@@ -52,11 +52,23 @@ object IcebergLite {
     * the name-mapping form of Iceberg's field-ID indirection. Data files
     * always store physical names; reads substitute physical names into the
     * pinned schema and alias back; renames are O(1) metadata commits. */
+  /** `commitIds` is the cumulative ledger of every commitId ever committed
+    * to the table — carried forward (and unioned) by every commit, so the
+    * crash-retry idempotence guard ([[alreadyCommitted]]) is one read of the
+    * CURRENT snapshot instead of a scan of all history: O(1) per commit on
+    * a 10k-commit table, and still refusing a replay after the original
+    * commit's snapshots (or even its files) have been expired. */
   case class Snapshot(id: Long, parent: Long, schemaJson: String, files: Seq[FileEntry],
                       renames: Map[String, String] = Map.empty,
-                      deletes: Seq[DeleteEntry] = Nil) {
+                      deletes: Seq[DeleteEntry] = Nil,
+                      commitIds: Set[String] = Set.empty) {
     def physical(logical: String): String = renames.getOrElse(logical, logical)
   }
+
+  /** Snapshot-JSON parses since JVM start — a test-visible metadata-read
+    * meter ([[IcebergLiteSpec]] asserts the idempotence guard stays O(1)
+    * in these as history grows). */
+  val metaParses = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def metaDir(table: String): Path = Paths.get(table, "_graft_meta")
 
@@ -133,10 +145,25 @@ object IcebergLite {
           val p = snapshotAt(table, cur.parent).getOrElse(throw new IllegalStateException(
             s"snapshot ${cur.parent} of $table is missing (expired?) - incremental range unreadable"))
           val curPaths = cur.files.map(_.path).toSet
+          // delete sets compared by ENTRY (path, seq), not count: a commit
+          // swapping one delete for another while carrying all parent files
+          // would pass a size check yet have no well-defined append delta
           require(p.files.forall(f => curPaths.contains(f.path))
-              && cur.deletes.size == p.deletes.size,
+              && cur.deletes.map(d => (d.path, d.seq)).toSet
+                == p.deletes.map(d => (d.path, d.seq)).toSet,
             s"snapshot ${cur.id} of $table is a replacing or delete commit - incremental " +
               "append scan is undefined across it; read the full snapshot instead")
+          // files ADDED at this commit must carry a seq inside the requested
+          // range, or the delta selection below would silently drop them —
+          // pre-upgrade manifests parse with seq 0, and a table whose
+          // lineage says otherwise must refuse loudly, not return an
+          // incomplete delta (the same conservatism replacing commits get)
+          val parentPaths = p.files.map(_.path).toSet
+          cur.files.filterNot(f => parentPaths.contains(f.path)).foreach { f =>
+            require(f.seq > fromId && f.seq <= toId,
+              s"file ${f.path} added by snapshot ${cur.id} of $table records seq ${f.seq} " +
+                s"outside ($fromId, $toId] - pre-upgrade manifest; read the full snapshot instead")
+          }
           cur = p
         }
       }
@@ -221,10 +248,32 @@ object IcebergLite {
     * consumer's own checkpoint advance ([[graft.streaming.Streams.drainTableIncrement]]). */
   def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
                        statsCols: Seq[String], commitId: String): Snapshot = {
-    val already = snapshots(table).exists(id => snapshotAt(table, id)
-      .exists(_.files.exists(_.path.contains(s"/data/$commitId/"))))
-    if (already) readSnapshot(table).get
+    if (alreadyCommitted(table, commitId)) readSnapshot(table).get
     else append(spark, df, table, statsCols, commitId)
+  }
+
+  /** Has `commitId` ever been committed to `table`? O(1): one read of the
+    * current snapshot's cumulative commitId ledger. Pre-upgrade tables
+    * (snapshots without the ledger) fall back to the historical file-path
+    * scan — upgraded transparently by their next commit, which starts the
+    * ledger from the full history. */
+  def alreadyCommitted(table: String, commitId: String): Boolean =
+    readSnapshot(table) match {
+      case None => false
+      case Some(s) if s.commitIds.nonEmpty => s.commitIds.contains(commitId)
+      case Some(_) => historicalCommitIds(table).contains(commitId)
+    }
+
+  /** Commit ids recoverable from snapshot history's file paths (legacy
+    * tables whose snapshots predate the ledger). */
+  private def historicalCommitIds(table: String): Set[String] = {
+    val DataId = ".*/data/([^/]+)/[^/]*".r
+    val DelId = ".*/deletes/([^/]+)/[^/]*".r
+    snapshots(table).flatMap(id => snapshotAt(table, id).toSeq.flatMap(s =>
+      s.files.map(_.path) ++ s.deletes.map(_.path))).collect {
+      case DataId(c) => c
+      case DelId(c) => c
+    }.toSet
   }
 
   /** Phase 1 of [[append]]: write the data files only (no snapshot yet).
@@ -319,9 +368,15 @@ object IcebergLite {
     // equality deletes still pending against those carried files
     val prevFiles = if (keepPrev) prev.map(_.files).getOrElse(Nil) else Nil
     val prevDeletes = if (keepPrev) prev.map(_.deletes).getOrElse(Nil) else Nil
+    // cumulative commitId ledger: ALWAYS carried (even by replacing
+    // commits) so the idempotence guard stays O(1) and survives expiry; a
+    // legacy table's first post-upgrade commit seeds it from full history
+    val ledger = prev.map(s =>
+      if (s.commitIds.nonEmpty) s.commitIds else historicalCommitIds(table))
+      .getOrElse(Set.empty[String]) + commitId
     commitSnapshot(table, Snapshot(parent + 1, parent, schemaJson,
       prevFiles ++ carryFiles ++ entries, prev.map(_.renames).getOrElse(Map.empty),
-      prevDeletes ++ carryDeletes))
+      prevDeletes ++ carryDeletes, ledger))
   }
 
   /** Write snapshot-N.json, then atomically swap CURRENT — the commit tail
@@ -371,7 +426,10 @@ object IcebergLite {
         while (historicalPhysical.contains(s"${name}__v$v")) v += 1
         snap.renames + (name -> s"${name}__v$v")
       }
-    commitSnapshot(table, Snapshot(snap.id + 1, snap.id, widened.json, snap.files, newRenames))
+    // copy() so pending equality deletes and the commitId ledger survive a
+    // schema-evolution commit (dropping them would resurrect MoR-deleted rows)
+    commitSnapshot(table, snap.copy(id = snap.id + 1, parent = snap.id,
+      schemaJson = widened.json, renames = newRenames))
   }
 
   /** Schema evolution: DROP COLUMN — a metadata-only commit (new snapshot,
@@ -386,8 +444,10 @@ object IcebergLite {
     require(schema.fieldNames.contains(name), s"no column $name")
     val narrowed = StructType(schema.fields.filterNot(_.name == name))
     require(narrowed.nonEmpty, "cannot drop the last column")
-    commitSnapshot(table, Snapshot(snap.id + 1, snap.id, narrowed.json,
-      snap.files, snap.renames - name))
+    require(snap.deletes.forall(d => !d.keys.contains(snap.physical(name))),
+      s"column $name is a pending equality-delete key; compact first")
+    commitSnapshot(table, snap.copy(id = snap.id + 1, parent = snap.id,
+      schemaJson = narrowed.json, renames = snap.renames - name))
   }
 
   /** Schema evolution: RENAME COLUMN — a metadata-only commit. Data files
@@ -407,8 +467,8 @@ object IcebergLite {
     val physicalName = snap.physical(from)
     val renamed = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    commitSnapshot(table, Snapshot(snap.id + 1, snap.id, renamed.json,
-      snap.files, (snap.renames - from) + (to -> physicalName)))
+    commitSnapshot(table, snap.copy(id = snap.id + 1, parent = snap.id,
+      schemaJson = renamed.json, renames = (snap.renames - from) + (to -> physicalName)))
   }
 
   /**
@@ -439,9 +499,7 @@ object IcebergLite {
    */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             keyCols: Seq[String], statsCols: Seq[String], commitId: String): Snapshot = {
-    val already = snapshots(table).exists(id => snapshotAt(table, id)
-      .exists(_.files.exists(_.path.contains(s"/data/$commitId/"))))
-    if (already) return readSnapshot(table).get
+    if (alreadyCommitted(table, commitId)) return readSnapshot(table).get
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
@@ -501,10 +559,7 @@ object IcebergLite {
    */
   def mergeOnRead(spark: SparkSession, table: String, updates: DataFrame,
                   keyCols: Seq[String], statsCols: Seq[String], commitId: String): Snapshot = {
-    val already = snapshots(table).exists(id => snapshotAt(table, id).exists(s =>
-      s.files.exists(_.path.contains(s"/data/$commitId/")) ||
-        s.deletes.exists(_.path.contains(s"/deletes/$commitId/"))))
-    if (already) return readSnapshot(table).get
+    if (alreadyCommitted(table, commitId)) return readSnapshot(table).get
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
@@ -533,6 +588,54 @@ object IcebergLite {
       carryDeletes = Seq(DeleteEntry(delFile, nextId, physKeys)))
   }
 
+  /** INSERT OVERWRITE: replace the table's entire content with `df` as one
+    * replacing commit (history still time-travels until expired). The
+    * re-baseline landing step for a follower whose incremental range was
+    * expired ([[graft.streaming.Streams.drainTableIncrement]]). */
+  def overwrite(spark: SparkSession, df: DataFrame, table: String,
+                statsCols: Seq[String], commitId: String): Snapshot = {
+    writeData(df, table, commitId)
+    commitWritten(spark, df.schema.json, table, statsCols, commitId, keepPrev = false)
+  }
+
+  // --- registered consumers (retention floor) ----------------------------
+
+  private def consumersDir(table: String): Path = metaDir(table).resolve("consumers")
+
+  /** Register (or advance) a named follower's consumed position. A consumer
+    * at position `snapshotId` needs snapshots ≥ that id to stay readable for
+    * its next incremental tick — [[expireSnapshots]] refuses to expire past
+    * the minimum registered position, so a slow follower can never be
+    * stranded by retention (Iceberg's own expire/streaming-read hazard,
+    * closed here by making the consumer set part of table metadata). */
+  def registerConsumer(table: String, name: String, snapshotId: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad consumer name $name")
+    val d = consumersDir(table)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".$name.tmp")
+    Files.writeString(tmp, snapshotId.toString)
+    Files.move(tmp, d.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Registered followers and their consumed positions. */
+  def consumers(table: String): Map[String, Long] = {
+    val d = consumersDir(table)
+    if (!Files.exists(d)) Map.empty
+    else {
+      val st = Files.list(d)
+      try st.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => p.getFileName.toString -> Files.readString(p).trim.toLong)
+        .toMap
+      finally st.close()
+    }
+  }
+
+  /** Drop a follower from the retention floor (it no longer pins history). */
+  def deregisterConsumer(table: String, name: String): Unit =
+    Files.deleteIfExists(consumersDir(table).resolve(name))
+
   /**
    * Snapshot retention (Iceberg's `expire_snapshots`): drop all but the
    * last `keepLast` snapshots and DELETE every data/delete file referenced
@@ -540,6 +643,9 @@ object IcebergLite {
    * without it a 100 TB table's storage grows with every replacing commit
    * forever (compaction/merge keep old files alive purely for history).
    * Expired snapshot ids stop time-traveling; kept ones are untouched.
+   * Registered consumers ([[registerConsumer]]) raise a retention floor:
+   * snapshots at or above the minimum registered position are NEVER
+   * expired, so a follower's next [[readIncremental]] stays readable.
    * Idempotent and crash-safe: a crash mid-delete leaves orphaned files
    * that nothing references, and a re-run re-reaps them. Returns
    * (expired snapshot ids, deleted file count).
@@ -547,7 +653,9 @@ object IcebergLite {
   def expireSnapshots(table: String, keepLast: Int): (Seq[Long], Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots(table)
-    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    val floor = consumers(table).values.minOption
+    val expired = all.dropRight(keepLast).filter(id => floor.forall(id < _))
+    val kept = all.filterNot(expired.contains)
     if (expired.isEmpty) return (Nil, 0)
     val keptSnaps = kept.flatMap(snapshotAt(table, _))
     val referenced = keptSnaps.flatMap(s =>
@@ -583,9 +691,12 @@ object IcebergLite {
   def rollbackTo(table: String, id: Long): Snapshot = {
     val target = snapshotAt(table, id).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $id in $table"))
-    val cur = currentSnapshotId(table).getOrElse(
+    val curSnap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
-    commitSnapshot(table, target.copy(id = cur + 1, parent = cur))
+    // ledger is the union: the rolled-back-over commits WERE committed, and
+    // a crash-retry of one of them after the rollback must stay a no-op
+    commitSnapshot(table, target.copy(id = curSnap.id + 1, parent = curSnap.id,
+      commitIds = curSnap.commitIds ++ target.commitIds))
   }
 
   private def surviving(snap: Snapshot, prune: Map[String, (Double, Double)],
@@ -724,11 +835,15 @@ object IcebergLite {
     val del = if (s.deletes.isEmpty) "" else s.deletes.map(d =>
       s"""{"path":"${esc(d.path)}","seq":${d.seq},"keys":${d.keys.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")}}""")
       .mkString(""","deletes":[""", ",", "]")
-    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files$ren$del}"""
+    val cids = if (s.commitIds.isEmpty) "" else
+      s.commitIds.toSeq.sorted.map(c => s""""${esc(c)}"""")
+        .mkString(""","commit_ids":[""", ",", "]")
+    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files$ren$del$cids}"""
   }
 
   /** Tiny recursive-descent JSON parser for our own snapshot format. */
   private[table] def parseSnapshot(js: String): Snapshot = {
+    metaParses.incrementAndGet()
     val p = new JsonP(js)
     val obj = p.parse().asInstanceOf[Map[String, Any]]
     val files = obj("files").asInstanceOf[List[Any]].map { fo =>
@@ -748,7 +863,9 @@ object IcebergLite {
       obj("schema").asInstanceOf[String], files,
       obj.get("renames").map(_.asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty),
-      deletes)
+      deletes,
+      obj.get("commit_ids").map(_.asInstanceOf[List[Any]].map(_.toString).toSet)
+        .getOrElse(Set.empty))
   }
 }
 

@@ -72,6 +72,71 @@ class TableFollowSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, tgt).count() == 35)
   }
 
+  test("crash-replay range is PINNED: a source advancing mid-crash cannot duplicate") {
+    val root = tmp()
+    val src = root.resolve("src").toString
+    val tgt = root.resolve("tgt").toString
+    val cp = root.resolve("c.cp").toString
+    def drain() = Streams.drainTableIncrement(spark, src, cp) { (df, from, to) =>
+      IcebergLite.appendIdempotent(spark, df, tgt, Seq("k"), s"inc_${from}_$to")
+    }
+    IcebergLite.append(spark, (0L until 10L).map(i => (i, "a")).toDF("k", "v"), src, Seq("k"), "c1")
+    drain()
+    IcebergLite.append(spark, (10L until 20L).map(i => (i, "b")).toDF("k", "v"), src, Seq("k"), "c2")
+    // consumer commits increment (0,1] then crashes before the checkpoint
+    intercept[RuntimeException](Streams.drainTableIncrement(spark, src, cp) { (df, from, to) =>
+      IcebergLite.appendIdempotent(spark, df, tgt, Seq("k"), s"inc_${from}_$to")
+      throw new RuntimeException("crash before checkpoint")
+    })
+    // the source ADVANCES while the consumer is down: an unpinned replay
+    // would deliver (0,2] under the fresh commitId inc_0_2 and re-append
+    // the 10 rows of commit c2 that already landed as inc_0_1
+    IcebergLite.append(spark, (20L until 25L).map(i => (i, "c")).toDF("k", "v"), src, Seq("k"), "c3")
+    assert(drain().contains((0L, 1L)), "replay must cover the pinned range, not the live head")
+    assert(IcebergLite.read(spark, tgt).count() == 20, "pinned replay must not duplicate")
+    assert(drain().contains((1L, 2L)))
+    assert(IcebergLite.read(spark, tgt).count() == 25)
+    assert(drain().isEmpty)
+  }
+
+  test("registered follower pins retention; unregistered one re-baselines after expiry") {
+    val root = tmp()
+    val src = root.resolve("src").toString
+    val tgt = root.resolve("tgt").toString
+    val cp = root.resolve("c.cp").toString
+    def drain(reb: Boolean) =
+      Streams.drainTableIncrement(spark, src, cp, rebaseline = reb) { (df, from, to) =>
+        if (from == -1L && IcebergLite.currentSnapshotId(tgt).isDefined)
+          IcebergLite.overwrite(spark, df, tgt, Seq("k"), s"reb_$to")
+        else
+          IcebergLite.appendIdempotent(spark, df, tgt, Seq("k"), s"inc_${from}_$to")
+      }
+    IcebergLite.append(spark, (0L until 10L).map(i => (i, "a")).toDF("k", "v"), src, Seq("k"), "c1")
+    drain(reb = false)
+    // a REGISTERED follower at position 0 pins snapshots >= 0
+    val rcp = root.resolve("r.cp").toString
+    Streams.drainTableIncrement(spark, src, rcp, registerAs = Some("reg")) { (_, _, _) => () }
+    IcebergLite.append(spark, (10L until 20L).map(i => (i, "b")).toDF("k", "v"), src, Seq("k"), "c2")
+    IcebergLite.append(spark, (20L until 30L).map(i => (i, "c")).toDF("k", "v"), src, Seq("k"), "c3")
+    assert(IcebergLite.expireSnapshots(src, keepLast = 1)._1.isEmpty,
+      "registered follower at 0 must pin the whole history")
+    IcebergLite.deregisterConsumer(src, "reg")
+    // now expiry strands the unregistered follower's checkpoint (at 0)
+    val (expired, _) = IcebergLite.expireSnapshots(src, keepLast = 1)
+    assert(expired == Seq(0L, 1L))
+    intercept[Exception](drain(reb = false))
+    assert(IcebergLite.read(spark, tgt).count() == 10, "failed tick must not commit")
+    // re-baseline: full current snapshot delivered with from = -1; the
+    // consumer REPLACES its derived table; content converges exactly-once
+    assert(drain(reb = true).isDefined)
+    assert(IcebergLite.read(spark, tgt).count() == 30)
+    assert(IcebergLite.read(spark, tgt).agg(sum($"k")).as[Long].head() == (0L until 30L).sum)
+    // and the follow continues incrementally from the new baseline
+    IcebergLite.append(spark, (30L until 35L).map(i => (i, "d")).toDF("k", "v"), src, Seq("k"), "c4")
+    assert(drain(reb = false).contains((2L, 3L)))
+    assert(IcebergLite.read(spark, tgt).count() == 35)
+  }
+
   test("two consumers follow the same source at independent paces") {
     val root = tmp()
     val src = root.resolve("src").toString

@@ -525,12 +525,113 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, t).count() == 1)
   }
 
+  test("idempotence guard is O(1): constant metadata parses however deep the history") {
+    val t = tmpTable()
+    (0 until 12).foreach { c =>
+      IcebergLite.appendIdempotent(spark,
+        Seq((c.toLong, s"v$c")).toDF("k", "v"), t, Seq("k"), s"c$c")
+    }
+    assert(IcebergLite.read(spark, t).count() == 12)
+    // a replayed commitId over 12 snapshots of history: the guard reads the
+    // CURRENT snapshot's ledger only — a bounded handful of parses, not one
+    // per historical snapshot
+    val before = IcebergLite.metaParses.get()
+    IcebergLite.appendIdempotent(spark,
+      Seq((3L, "dup")).toDF("k", "v"), t, Seq("k"), "c3")
+    val parses = IcebergLite.metaParses.get() - before
+    assert(parses <= 4, s"replay guard did $parses metadata parses (O(history)?)")
+    assert(IcebergLite.read(spark, t).count() == 12, "replay must be a no-op")
+    // the ledger survives EXPIRY of the original commit's snapshots (the
+    // historical-scan guard could not: the expired files no longer witness
+    // the commit, and a replay would append duplicates)
+    IcebergLite.expireSnapshots(t, keepLast = 2)
+    IcebergLite.appendIdempotent(spark,
+      Seq((1L, "dup")).toDF("k", "v"), t, Seq("k"), "c1")
+    assert(IcebergLite.read(spark, t).count() == 12, "replay after expiry must stay a no-op")
+    // ...and a ROLLBACK past a commit keeps it too (union ledger)
+    IcebergLite.rollbackTo(t, IcebergLite.snapshots(t).head)
+    IcebergLite.appendIdempotent(spark,
+      Seq((5L, "dup")).toDF("k", "v"), t, Seq("k"), "c5")
+    assert(!IcebergLite.read(spark, t).as[(Long, String)].collect().contains((5L, "dup")))
+  }
+
+  test("schema evolution preserves pending equality deletes (MoR + addColumn)") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    IcebergLite.mergeOnRead(spark, t, Seq((3L, "M3")).toDF("k", "v"), Seq("k"), Seq("k"), "m1")
+    assert(IcebergLite.read(spark, t).as[(Long, String)].collect().toMap.apply(3L) == "M3")
+    // a metadata-only evolution commit must CARRY the pending delete — if it
+    // dropped it, the superseded (3, "a3") row would resurrect
+    IcebergLite.addColumn(t, "extra", "int")
+    val got = IcebergLite.read(spark, t).select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(got.size == 10 && got(3L) == "M3", "addColumn dropped pending equality deletes")
+    IcebergLite.renameColumn(t, "v", "val")
+    val got2 = IcebergLite.read(spark, t).select($"k", $"val").as[(Long, String)].collect().toMap
+    assert(got2.size == 10 && got2(3L) == "M3", "renameColumn dropped pending equality deletes")
+    // dropping a pending delete-key column is refused (compact first)
+    intercept[IllegalArgumentException](IcebergLite.dropColumn(t, "k"))
+    IcebergLite.compact(spark, t, Seq("k"), "comp")
+    IcebergLite.dropColumn(t, "k") // clean after compaction
+  }
+
+  test("readIncremental refuses a delete-entry swap and pre-upgrade (seq-less) manifests") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 5L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    IcebergLite.append(spark, (5L until 9L).map(i => (i, s"b$i")).toDF("k", "v"), t, Seq("k"), "c2")
+    assert(IcebergLite.readIncremental(spark, t, 0, 1).count() == 4)
+    val meta = java.nio.file.Paths.get(t, "_graft_meta", "snapshot-1.json")
+    val js = java.nio.file.Files.readString(meta)
+    // simulate a pre-upgrade manifest: strip the seq field (parses as 0)
+    java.nio.file.Files.writeString(meta, js.replaceAll(""","seq":\d+""", ""))
+    val e = intercept[IllegalArgumentException](IcebergLite.readIncremental(spark, t, 0, 1))
+    assert(e.getMessage.contains("pre-upgrade"), e.getMessage)
+    // full-range scan is still well-defined (seq 0 > -1 keeps every file)
+    assert(IcebergLite.readIncremental(spark, t, -1, 1).count() == 9)
+    java.nio.file.Files.writeString(meta, js) // restore
+    // a same-SIZE delete set whose entries differ is a refused commit shape
+    val snap1 = IcebergLite.parseSnapshot(js)
+    val forged = snap1.copy(deletes = Seq(IcebergLite.DeleteEntry("/nowhere.parquet", 2, Seq("k"))))
+    val snap0js = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_graft_meta", "snapshot-0.json"))
+    val withDel = IcebergLite.parseSnapshot(snap0js)
+      .copy(deletes = Seq(IcebergLite.DeleteEntry("/elsewhere.parquet", 2, Seq("k"))))
+    val render = classOf[IcebergLite.type].getDeclaredMethods
+      .find(_.getName == "renderSnapshot").get
+    render.setAccessible(true)
+    java.nio.file.Files.writeString(meta, render.invoke(IcebergLite, forged).asInstanceOf[String])
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_graft_meta", "snapshot-0.json"),
+      render.invoke(IcebergLite, withDel).asInstanceOf[String])
+    val e2 = intercept[IllegalArgumentException](IcebergLite.readIncremental(spark, t, 0, 1))
+    assert(e2.getMessage.contains("replacing or delete commit"), e2.getMessage)
+  }
+
+  test("expireSnapshots honors the registered-consumer retention floor") {
+    val t = tmpTable()
+    (0 until 5).foreach { c =>
+      IcebergLite.append(spark,
+        Seq((c.toLong, s"v$c")).toDF("k", "v"), t, Seq("k"), s"c$c")
+    }
+    IcebergLite.registerConsumer(t, "follower-a", 1L)
+    // keepLast=1 would expire 0..3, but the floor pins 1..4
+    val (expired, _) = IcebergLite.expireSnapshots(t, keepLast = 1)
+    assert(expired == Seq(0L), s"floor violated: expired $expired")
+    assert(IcebergLite.readIncremental(spark, t, 1, 4).count() == 3,
+      "the follower's next incremental tick must stay readable")
+    // consumer advances -> floor rises; deregistering removes it entirely
+    IcebergLite.registerConsumer(t, "follower-a", 3L)
+    assert(IcebergLite.expireSnapshots(t, keepLast = 1)._1 == Seq(1L, 2L))
+    IcebergLite.deregisterConsumer(t, "follower-a")
+    assert(IcebergLite.expireSnapshots(t, keepLast = 1)._1 == Seq(3L))
+  }
+
   test("snapshot JSON roundtrip") {
     val s = IcebergLite.Snapshot(3, 2, """{"type":"struct"}""",
       Seq(IcebergLite.FileEntry("/a/b \"q\".parquet", 10,
         Map("k" -> "-5"), Map("k" -> "42"), seq = 2)),
       renames = Map("val" -> "v"),
-      deletes = Seq(IcebergLite.DeleteEntry("/a/del.parquet", 3, Seq("k", "k2"))))
+      deletes = Seq(IcebergLite.DeleteEntry("/a/del.parquet", 3, Seq("k", "k2"))),
+      commitIds = Set("c1", "c2", "m \"x\""))
     val js = {
       // render via append path is file-bound; test parse on a hand render
       val m = classOf[IcebergLite.type].getDeclaredMethods
