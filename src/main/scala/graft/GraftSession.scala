@@ -32,6 +32,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)
+      // object aggregates (geomedian, collect_list) fall back to SORT-based
+      // aggregation after 128 distinct keys per partition by default —
+      // sorting every input row by group key. The pixel plane has thousands
+      // of live groups per partition with compact flat buffers; keeping them
+      // hashed is both faster (measured ~0.3 s on px_geomedian at sf0.1)
+      // and the right 100 TB posture (buffer memory is bounded by
+      // groups-per-partition, not input rows)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
 
   def local(cores: Int): SparkSession = {

@@ -865,10 +865,9 @@ object PixelQueries {
     * row-for-row; converged-form parity vs the scalar oracle (default 200 /
     * 1e-9) stays in AggregatorSpec. */
   def geomedian(s: SparkSession, d: String): DataFrame = {
-    val agg = udaf(new GeomedianAggP(maxIter = 32, tol = 0.0))
     px(s, d).groupBy("py", "px")
-      .agg(agg(array(col("blue").cast("double"), col("nir").cast("double"),
-        col("red").cast("double"))).as("gm"))
+      .agg(GeomedianVec(32, 0.0)(col("blue").cast("double"), col("nir").cast("double"),
+        col("red").cast("double")).as("gm"))
       .select(col("py"), col("px"),
         round(element_at(col("gm"), 1), 6).as("gm_blue"),
         round(element_at(col("gm"), 2), 6).as("gm_nir"),

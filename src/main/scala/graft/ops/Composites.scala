@@ -149,9 +149,8 @@ object Composites {
    */
   def geomedoidComposite(px: DataFrame, keys: Seq[String], bands: Seq[String],
                          iters: Int = 32): DataFrame = {
-    val agg = udaf(new GeomedianAggP(maxIter = iters, tol = 0.0))
     val gm = px.groupBy(keys.map(col): _*)
-      .agg(agg(array(bands.map(col(_).cast("double")): _*)).as("gm"))
+      .agg(GeomedianVec(iters, 0.0)(bands.map(col(_).cast("double")): _*).as("gm"))
       .select(keys.map(col) ++ bands.indices.map(i =>
         round(element_at(col("gm"), i + 1), 6).as(s"__c$i")): _*)
     val ts = bands.zipWithIndex.map { case (b, i) =>
@@ -227,32 +226,189 @@ object WofsStatsAgg extends Aggregator[Double, WofsStatsBuf, WofsSummary] {
  * `nangeomedian`). Custom typed Aggregator: buffers the per-pixel band
  * vectors (bounded by time-series depth), runs Weiszfeld at finish.
  */
+/** Flat d-strided observation buffer for the geomedian aggregators: one
+  * primitive `Array[Double]` per pixel (amortized-doubling growth, `used`
+  * marks the live prefix) instead of a `Seq[Seq[Double]]` of boxed rows.
+  * The per-element cost through the ObjectHashAggregate exchange drops from
+  * a nested ArrayData-of-ArrayData (object header + generic traversal per
+  * observation) to 8 contiguous bytes; the unused capacity tail (< 2×) is
+  * still far below the boxed form's constant factor. */
+case class GmBuf(var d: Int, var used: Int, var data: Array[Double]) {
+  def add(v: Seq[Double]): GmBuf = {
+    if (d == 0) d = v.length
+    reserve(used + d)
+    var i = 0
+    while (i < d) { data(used + i) = v(i); i += 1 }
+    used += d
+    this
+  }
+  def addRaw(v: Array[Double]): GmBuf = {
+    if (d == 0) d = v.length
+    reserve(used + d)
+    System.arraycopy(v, 0, data, used, d)
+    used += d
+    this
+  }
+  def absorb(b: GmBuf): GmBuf = {
+    if (d == 0) d = b.d
+    reserve(used + b.used)
+    System.arraycopy(b.data, 0, data, used, b.used)
+    used += b.used
+    this
+  }
+  private def reserve(n: Int): Unit =
+    if (data.length < n) {
+      val grown = new Array[Double](math.max(n, math.max(16, data.length * 2)))
+      System.arraycopy(data, 0, grown, 0, used)
+      data = grown
+    }
+  /** The buffered observations as row vectors (finish-time only). */
+  def points: Seq[Seq[Double]] =
+    (0 until (if (d == 0) 0 else used / d)).map(p =>
+      (0 until d).map(i => data(p * d + i)): Seq[Double])
+}
+
+object GmBuf {
+  def empty: GmBuf = GmBuf(0, 0, Array.emptyDoubleArray)
+  val encoder: Encoder[GmBuf] = Encoders.product[GmBuf]
+}
+
+/**
+ * Native Catalyst form of the fixed-step geomedian aggregate — a
+ * `TypedImperativeAggregate[GmBuf]` whose `update` reads the band doubles
+ * straight off the `InternalRow`. The `udaf(Aggregator)` bridge pays a
+ * per-row deserialization (array construction + `Seq[Double]` boxing)
+ * that measured ~1.1 s of px_geomedian's 1.4 s wall at sf0.1 (GmProbe:
+ * skeleton 0.23 s, udaf-with-0-iterations 1.33 s — the Weiszfeld math
+ * itself is <0.1 s); this expression removes that entire path. Identical
+ * arithmetic: the same [[GeomedianAgg.weiszfeld]] (sorted, Vardi–Zhang
+ * corrected) runs at eval, so results — and the DuckDB oracle hashes —
+ * are bit-equal to the Aggregator form (kept for AggregatorSpec parity).
+ */
+case class GeomedianVec(bands: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                        maxIter: Int, tol: Double,
+                        mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[GmBuf] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types._
+
+  override def children: Seq[Expression] = bands
+  // inputs must already be DoubleType (callers cast; AbstractDataType is
+  // private[sql], so ImplicitCastInputTypes is unavailable to extensions)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (bands.forall(_.dataType == DoubleType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"geomedian expects DOUBLE bands, got ${bands.map(_.dataType.simpleString).mkString(", ")}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "geomedian"
+
+  override def createAggregationBuffer(): GmBuf = GmBuf.empty
+
+  // per-band extractors resolved ONCE from the bound children: a direct
+  // row.getDouble/getInt beats the interpreted Expression.eval tree walk
+  // (megamorphic dispatch per row per band) on the 600k-row hot path;
+  // anything unrecognized falls back to eval
+  @transient private lazy val getters: Array[InternalRow => Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast}
+    bands.map {
+      case BoundReference(ord, DoubleType, _) =>
+        (row: InternalRow) => if (row.isNullAt(ord)) null else row.getDouble(ord)
+      case c: Cast if c.dataType == DoubleType => c.child match {
+        case BoundReference(ord, IntegerType, _) =>
+          (row: InternalRow) => if (row.isNullAt(ord)) null else row.getInt(ord).toDouble
+        case BoundReference(ord, LongType, _) =>
+          (row: InternalRow) => if (row.isNullAt(ord)) null else row.getLong(ord).toDouble
+        case _ => (row: InternalRow) => c.eval(row)
+      }
+      case e => (row: InternalRow) => e.eval(row)
+    }.toArray
+  }
+
+  override def update(b: GmBuf, row: InternalRow): GmBuf = {
+    val d = bands.length
+    val vs = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val v = getters(i)(row)
+      // null or nodata in ANY band drops the whole observation — the same
+      // row filter as the Aggregator form's reduce
+      if (v == null) return b
+      val dv = v.asInstanceOf[Double]
+      if (dv == -9999.0) return b
+      vs(i) = dv
+      i += 1
+    }
+    b.addRaw(vs)
+  }
+
+  override def merge(a: GmBuf, b: GmBuf): GmBuf = a.absorb(b)
+
+  override def eval(b: GmBuf): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GeomedianAgg.weiszfeld(b.points, maxIter, tol).toArray)
+
+  override def serialize(b: GmBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * b.used)
+    bb.putInt(b.d); bb.putInt(b.used)
+    var i = 0
+    while (i < b.used) { bb.putDouble(b.data(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): GmBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val d = bb.getInt; val used = bb.getInt
+    val data = new Array[Double](used)
+    var i = 0
+    while (i < used) { data(i) = bb.getDouble; i += 1 }
+    GmBuf(d, used, data)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): GeomedianVec =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): GeomedianVec =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]): GeomedianVec =
+    copy(bands = newChildren)
+}
+
+object GeomedianVec {
+  /** Column form: `geomedian(maxIter, tol)(blue, nir, red)` — an array of
+    * the band-space geometric median. */
+  def apply(maxIter: Int, tol: Double)(bands: Column*): Column =
+    org.apache.spark.sql.GraftShims.column(
+      new GeomedianVec(bands.map(org.apache.spark.sql.GraftShims.expression),
+        maxIter, tol).toAggregateExpression())
+}
+
 /** [[GeomedianAgg]] with explicit iteration control. `tol = 0` with a fixed
   * `maxIter` gives a fixed-step Weiszfeld whose every arithmetic op has an
   * ANSI-SQL twin ([[Composites.geomedianOracleSql]]) — the oracle-checkable
   * parameterization. Converged fixed points freeze (a step from the optimum
   * reproduces it), so extra iterations never drift. */
 class GeomedianAggP(maxIter: Int = 200, tol: Double = 1e-9)
-    extends Aggregator[Seq[Double], Seq[Seq[Double]], Seq[Double]] {
-  def zero: Seq[Seq[Double]] = Vector.empty
-  def reduce(b: Seq[Seq[Double]], v: Seq[Double]): Seq[Seq[Double]] =
-    if (v == null || v.exists(_ == -9999.0)) b else b :+ v.toVector
-  def merge(a: Seq[Seq[Double]], b: Seq[Seq[Double]]): Seq[Seq[Double]] = a ++ b
-  def finish(pts: Seq[Seq[Double]]): Seq[Double] = GeomedianAgg.weiszfeld(pts, maxIter, tol)
-  def bufferEncoder: Encoder[Seq[Seq[Double]]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Double]]]()
+    extends Aggregator[Seq[Double], GmBuf, Seq[Double]] {
+  def zero: GmBuf = GmBuf.empty
+  def reduce(b: GmBuf, v: Seq[Double]): GmBuf =
+    if (v == null || v.exists(_ == -9999.0)) b else b.add(v)
+  def merge(a: GmBuf, b: GmBuf): GmBuf = a.absorb(b)
+  def finish(b: GmBuf): Seq[Double] = GeomedianAgg.weiszfeld(b.points, maxIter, tol)
+  def bufferEncoder: Encoder[GmBuf] = GmBuf.encoder
   def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
 
-object GeomedianAgg extends Aggregator[Seq[Double], Seq[Seq[Double]], Seq[Double]] {
-  def zero: Seq[Seq[Double]] = Vector.empty
-  def reduce(b: Seq[Seq[Double]], v: Seq[Double]): Seq[Seq[Double]] =
-    if (v == null || v.exists(_ == -9999.0)) b else b :+ v.toVector
-  def merge(a: Seq[Seq[Double]], b: Seq[Seq[Double]]): Seq[Seq[Double]] = a ++ b
-  def finish(pts: Seq[Seq[Double]]): Seq[Double] = weiszfeld(pts)
-  def bufferEncoder: Encoder[Seq[Seq[Double]]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Double]]]()
+object GeomedianAgg extends Aggregator[Seq[Double], GmBuf, Seq[Double]] {
+  def zero: GmBuf = GmBuf.empty
+  def reduce(b: GmBuf, v: Seq[Double]): GmBuf =
+    if (v == null || v.exists(_ == -9999.0)) b else b.add(v)
+  def merge(a: GmBuf, b: GmBuf): GmBuf = a.absorb(b)
+  def finish(b: GmBuf): Seq[Double] = weiszfeld(b.points)
+  def bufferEncoder: Encoder[GmBuf] = GmBuf.encoder
   def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 

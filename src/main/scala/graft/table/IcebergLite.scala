@@ -700,20 +700,35 @@ object IcebergLite {
   }
 
   private def surviving(snap: Snapshot, prune: Map[String, (Double, Double)],
-                        pruneStr: Map[String, (String, String)]): Seq[FileEntry] =
+                        pruneStr: Map[String, (String, String)],
+                        pruneInNum: Map[String, Seq[Double]] = Map.empty,
+                        pruneInStr: Map[String, Seq[String]] = Map.empty,
+                        pruneStrOpt: Map[String, (Option[String], Option[String])] = Map.empty)
+      : Seq[FileEntry] =
     snap.files.filter { f =>
+      def stats(c: String): Option[(String, String)] =
+        (f.min.get(c), f.max.get(c)) match {
+          case (Some(mn), Some(mx)) if mn != "null" && mx != "null" => Some((mn, mx))
+          case _ => None // stat missing or all-null file: conservatively kept
+        }
       prune.forall { case (c, (lo, hi)) =>
-        (f.min.get(c), f.max.get(c)) match {
-          case (Some(mn), Some(mx)) if mn != "null" && mx != "null" =>
-            !(mx.toDouble < lo || mn.toDouble > hi)
-          case _ => true
-        }
+        stats(c).forall { case (mn, mx) => !(mx.toDouble < lo || mn.toDouble > hi) }
       } && pruneStr.forall { case (c, (lo, hi)) =>
-        (f.min.get(c), f.max.get(c)) match {
-          case (Some(mn), Some(mx)) if mn != "null" && mx != "null" =>
-            !(mx < lo || mn > hi) // lexicographic, same semantics
-          case _ => true
+        stats(c).forall { case (mn, mx) => !(mx < lo || mn > hi) } // lexicographic
+      } && pruneInNum.forall { case (c, vs) =>
+        // IN-list: kept iff ANY candidate value can be in the file's range —
+        // tighter than collapsing the set to its [min,max] envelope when the
+        // set has gaps spanning whole files
+        stats(c).forall { case (mn, mx) =>
+          val (lo, hi) = (mn.toDouble, mx.toDouble); vs.exists(v => v >= lo && v <= hi)
         }
+      } && pruneInStr.forall { case (c, vs) =>
+        stats(c).forall { case (mn, mx) => vs.exists(v => v >= mn && v <= mx) }
+      } && pruneStrOpt.forall { case (c, (lo, hi)) =>
+        // one-sided lexicographic bounds are sound on their own: max < lo
+        // (or min > hi) proves every row misses, whatever the other side
+        stats(c).forall { case (mn, mx) =>
+          !(lo.exists(mx < _) || hi.exists(mn > _)) }
       }
     }
 
@@ -743,58 +758,137 @@ object IcebergLite {
    * plain `read(...).where(predicate)`.
    */
   def readWhere(spark: SparkSession, table: String, predicate: Column): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThan,
-      GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Expression, AttributeReference}
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.types.{DataType, StructType, NumericType, StringType}
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
+    val b = extractBounds(spark, snap, predicate)
+    readFiles(spark, snap,
+      surviving(snap, b.num, Map.empty, b.inNum, b.inStr, b.str)).where(predicate)
+  }
+
+  private[table] case class Bounds(num: Map[String, (Double, Double)],
+                                   str: Map[String, (Option[String], Option[String])],
+                                   inNum: Map[String, Seq[Double]],
+                                   inStr: Map[String, Seq[String]])
+
+  /** Conjunctive per-column bound extraction from an arbitrary predicate.
+    * Handles literal-vs-attribute comparisons (either side), IN lists,
+    * StartsWith (prefix → lexicographic range), monotone up-CASTs wrapping
+    * the attribute (the shape type coercion produces for `intCol > 5L`),
+    * foldable expressions on the literal side (Cast of a literal), and
+    * DATE/TIMESTAMP columns — whose manifest stats are `cast(c AS string)`
+    * ISO forms, lexicographically order-consistent, so bounds convert to
+    * conservative ISO strings (timestamps to whole-second precision).
+    * Anything else contributes no bound; the full predicate is always
+    * re-applied to surviving rows, so bounds only ever need to be
+    * conservative, never exact. */
+  private[table] def extractBounds(spark: SparkSession, snap: Snapshot,
+                                   predicate: Column): Bounds = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualNullSafe, EqualTo,
+      Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
+      AttributeReference, StartsWith}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types._
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     def fieldType(c: String) = schema.fields.find(_.name == c).map(_.dataType)
     val num = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val str = scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
+    val inNum = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    val inStr = scala.collection.mutable.Map.empty[String, Seq[String]]
+    // attribute possibly wrapped in a monotone widening cast (what type
+    // coercion inserts): the bound transfers to the underlying column
     def name(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute => Some(a.name)
       case a: AttributeReference => Some(a.name)
+      case c: Cast => name(c.child).filter(n =>
+        fieldType(n).exists(ft => Cast.canUpCast(ft, c.dataType)))
       case _ => None
     }
-    def litVal(e: Expression): Option[Any] = e match {
-      case Literal(v, _) => Option(v)
+    def litVal(e: Expression): Option[(Any, DataType)] =
+      if (e.foldable) Option(e.eval(null)).map(v => (v, e.dataType)) else None
+    // convert an evaluated literal to this column's STAT domain: numeric
+    // columns compare as doubles; string columns lexicographically; date /
+    // timestamp columns through their `cast AS string` ISO forms (floor'd
+    // to days / whole seconds — conservative in both directions because the
+    // residual predicate runs regardless)
+    val sessionZone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    def tsSecondString(micros: Long): String = {
+      val fl = Math.floorDiv(micros, 1000000L)
+      java.time.LocalDateTime.ofInstant(java.time.Instant.ofEpochSecond(fl), sessionZone)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    }
+    def dateString(v: Any, vt: DataType): Option[String] = vt match {
+      case DateType => Some(java.time.LocalDate.ofEpochDay(v.toString.toLong).toString)
+      case TimestampType => Some(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(Math.floorDiv(v.toString.toLong, 1000000L)),
+        sessionZone).toLocalDate.toString)
       case _ => None
     }
-    // closed-interval bounds are conservative for strict comparisons: a
-    // file whose max equals the open bound survives pruning and its rows
-    // are dropped by the residual predicate
-    def add(c: String, lo: Option[Any], hi: Option[Any]): Unit = fieldType(c) match {
+    def addNum(c: String, lo: Option[Double], hi: Option[Double]): Unit = {
+      val (l0, h0) = num.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
+      num(c) = (lo.map(math.max(l0, _)).getOrElse(l0), hi.map(math.min(h0, _)).getOrElse(h0))
+    }
+    def addStr(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = str.getOrElse(c, (None, None))
+      str(c) = (lo.map(v => l0.filter(_ > v).getOrElse(v)).orElse(l0),
+        hi.map(v => h0.filter(_ < v).getOrElse(v)).orElse(h0))
+    }
+    def add(c: String, lo: Option[(Any, DataType)], hi: Option[(Any, DataType)]): Unit =
+      fieldType(c) match {
+        case Some(_: NumericType) =>
+          addNum(c, lo.map(_._1.toString.toDouble), hi.map(_._1.toString.toDouble))
+        case Some(StringType) =>
+          addStr(c, lo.collect { case (v, StringType) => v.toString },
+            hi.collect { case (v, StringType) => v.toString })
+        case Some(DateType) =>
+          addStr(c, lo.flatMap((dateString _).tupled), hi.flatMap((dateString _).tupled))
+        case Some(TimestampType) =>
+          // whole-second bounds; hi extended past any sub-second suffix
+          addStr(c, lo.collect { case (v, TimestampType) => tsSecondString(v.toString.toLong) },
+            hi.collect { case (v, TimestampType) => tsSecondString(v.toString.toLong) + "\uffff" })
+        case _ => () // non-atomic or unknown column: no pruning from this leaf
+      }
+    def addIn(c: String, vs: Seq[(Any, DataType)]): Unit = fieldType(c) match {
       case Some(_: NumericType) =>
-        val (l0, h0) = num.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
-        num(c) = (lo.map(_.toString.toDouble).map(math.max(l0, _)).getOrElse(l0),
-          hi.map(_.toString.toDouble).map(math.min(h0, _)).getOrElse(h0))
-      case Some(StringType) =>
-        val (l0, h0) = str.getOrElse(c, (None, None))
-        val lo1 = lo.map(_.toString).map(v => l0.filter(_ > v).getOrElse(v)).orElse(l0)
-        val hi1 = hi.map(_.toString).map(v => h0.filter(_ < v).getOrElse(v)).orElse(h0)
-        str(c) = (lo1, hi1)
-      case _ => () // non-atomic or unknown column: no pruning from this leaf
+        val set = vs.map(_._1.toString.toDouble)
+        inNum(c) = inNum.get(c).map(_.intersect(set)).getOrElse(set)
+      case Some(StringType) | Some(DateType) =>
+        val set = vs.flatMap { case (v, vt) =>
+          if (vt == StringType) Some(v.toString) else dateString(v, vt) }
+        if (set.size == vs.size) // every value converted, else no pruning
+          inStr(c) = inStr.get(c).map(_.intersect(set)).getOrElse(set)
+      case _ => ()
     }
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
-      case EqualTo(a, b) =>
-        name(a).zip(litVal(b)).foreach { case (c, v) => add(c, Some(v), Some(v)) }
-        name(b).zip(litVal(a)).foreach { case (c, v) => add(c, Some(v), Some(v)) }
-      case GreaterThan(a, b) =>
-        name(a).zip(litVal(b)).foreach { case (c, v) => add(c, Some(v), None) }
-        name(b).zip(litVal(a)).foreach { case (c, v) => add(c, None, Some(v)) }
-      case GreaterThanOrEqual(a, b) =>
-        name(a).zip(litVal(b)).foreach { case (c, v) => add(c, Some(v), None) }
-        name(b).zip(litVal(a)).foreach { case (c, v) => add(c, None, Some(v)) }
-      case LessThan(a, b) =>
-        name(a).zip(litVal(b)).foreach { case (c, v) => add(c, None, Some(v)) }
-        name(b).zip(litVal(a)).foreach { case (c, v) => add(c, Some(v), None) }
-      case LessThanOrEqual(a, b) =>
-        name(a).zip(litVal(b)).foreach { case (c, v) => add(c, None, Some(v)) }
-        name(b).zip(litVal(a)).foreach { case (c, v) => add(c, Some(v), None) }
+      case EqualTo(a, b) => cmpEq(a, b)
+      case EqualNullSafe(a, b) => cmpEq(a, b)
+      case GreaterThan(a, b) => cmpGt(a, b)
+      case GreaterThanOrEqual(a, b) => cmpGt(a, b)
+      case LessThan(a, b) => cmpGt(b, a)
+      case LessThanOrEqual(a, b) => cmpGt(b, a)
+      case In(a, list) if list.forall(_.foldable) =>
+        name(a).foreach { c =>
+          val vs = list.flatMap(litVal)
+          if (vs.size == list.size && vs.nonEmpty) addIn(c, vs)
+        }
+      case StartsWith(a, p) =>
+        // any string with prefix P sorts in [P, P + U+FFFF...]; closed
+        // interval keeps edge files, residual predicate trims rows
+        name(a).zip(litVal(p)).foreach {
+          case (c, (v, StringType)) if fieldType(c).contains(StringType) =>
+            addStr(c, Some(v.toString), Some(v.toString + "\uffff"))
+          case _ => ()
+        }
       case _ => () // OR / UDF / complex leaf: contributes no bound
+    }
+    def cmpEq(a: Expression, b: Expression): Unit = {
+      name(a).zip(litVal(b)).foreach { case (c, v) => add(c, Some(v), Some(v)) }
+      name(b).zip(litVal(a)).foreach { case (c, v) => add(c, Some(v), Some(v)) }
+    }
+    // a > b (and a >= b — closed intervals make them the same bound)
+    def cmpGt(a: Expression, b: Expression): Unit = {
+      name(a).zip(litVal(b)).foreach { case (c, v) => add(c, Some(v), None) }
+      name(b).zip(litVal(a)).foreach { case (c, v) => add(c, None, Some(v)) }
     }
     // analyze the predicate against an EMPTY frame carrying the snapshot
     // schema: the analyzer resolves attributes/casts exactly as the real
@@ -804,11 +898,7 @@ object IcebergLite {
       .where(predicate).queryExecution.analyzed
     analyzed.collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
       .foreach(walk)
-    // string ranges prune only when BOTH sides are constrained (equality
-    // or between) — there is no lexicographic +∞ to stand in for a
-    // missing side without risking a wrong prune
-    val strBoth = str.collect { case (c, (Some(lo), Some(hi))) => c -> (lo, hi) }
-    read(spark, table, num.toMap, strBoth.toMap).where(predicate)
+    Bounds(num.toMap, str.toMap, inNum.toMap, inStr.toMap)
   }
 
   /** Files selected under pruning (for tests/metrics). */

@@ -434,6 +434,52 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.readWhere(spark, t, $"k" > 99L && $"k" < 1000L).count() == 0)
   }
 
+  test("readWhere: IN-lists, StartsWith, up-CASTs and date/timestamp bounds all prune") {
+    val t = tmpTable()
+    // two commits with disjoint id ranges, distinct name prefixes and months
+    IcebergLite.append(spark,
+      (0 until 100).map(i => (i, s"alpha$i", java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d"),
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 10:30:00")))
+        .toDF("k", "name", "d", "ts").repartitionByRange(2, $"k"),
+      t, Seq("k", "name", "d", "ts"), "c1")
+    IcebergLite.append(spark,
+      (1000 until 1100).map(i => (i, s"beta$i", java.sql.Date.valueOf(f"2024-06-${i % 28 + 1}%02d"),
+        java.sql.Timestamp.valueOf(f"2024-06-${i % 28 + 1}%02d 10:30:00")))
+        .toDF("k", "name", "d", "ts").repartitionByRange(2, $"k"),
+      t, Seq("k", "name", "d", "ts"), "c2")
+    def onlyC2(q: org.apache.spark.sql.DataFrame) =
+      q.inputFiles.nonEmpty && q.inputFiles.forall(_.contains("/data/c2/"))
+    // IN-list: every candidate value in c2's range — c1's files are skipped,
+    // and tighter than the [min,max] envelope (1005..1090 spans both c2 files
+    // but each value hits only where it lands)
+    val qin = IcebergLite.readWhere(spark, t, $"k".isin(1005, 1017, 1090))
+    assert(onlyC2(qin) && qin.count() == 3)
+    // IN-list with a gap: values {5, 1005} must keep BOTH commits' low files
+    assert(IcebergLite.readWhere(spark, t, $"k".isin(5, 1005)).count() == 2)
+    // StartsWith: prefix range [beta, beta￿] misses every alpha file
+    val qsw = IcebergLite.readWhere(spark, t, $"name".startsWith("beta"))
+    assert(onlyC2(qsw) && qsw.count() == 100)
+    // up-CAST wrapping the attribute (int column, long literal): the bound
+    // transfers through the widening cast the analyzer inserts
+    val qc = IcebergLite.readWhere(spark, t, $"k" >= 1000L)
+    assert(onlyC2(qc) && qc.count() == 100)
+    // DATE bounds: stats are ISO strings, lexicographically order-true
+    val qd = IcebergLite.readWhere(spark, t, $"d" >= lit("2024-06-01").cast("date"))
+    assert(onlyC2(qd) && qd.count() == 100)
+    // TIMESTAMP bounds (whole-second conservative)
+    val qt = IcebergLite.readWhere(spark, t,
+      $"ts" >= lit("2024-05-31 23:59:59").cast("timestamp"))
+    assert(onlyC2(qt) && qt.count() == 100)
+    // date IN-list
+    val qdi = IcebergLite.readWhere(spark, t,
+      $"d".isin(java.sql.Date.valueOf("2024-06-03"), java.sql.Date.valueOf("2024-06-04")))
+    assert(onlyC2(qdi) && qdi.count() ==
+      IcebergLite.read(spark, t).where($"d".isin("2024-06-03", "2024-06-04")).count())
+    // edge: strict timestamp bound on the second boundary stays correct
+    assert(IcebergLite.readWhere(spark, t,
+      $"ts" > lit("2024-06-28 10:30:00").cast("timestamp")).count() == 0)
+  }
+
   test("readIncremental: metadata-only append delta; refuses replacing/delete commits") {
     val t = tmpTable()
     val s0 = IcebergLite.append(spark,
