@@ -118,6 +118,7 @@ object SparkEntry {
     "q17_inventory" -> ((s, d) => Relational.q17(s, d)),
     // table plane (§4.2/S12): IcebergLite CoW MERGE upsert, committed
     // table read back — exactly the anti-join ∪ updates the oracle states
+    "tbl_part" -> ((s, d) => GeoQueries.tblPart(s, d)),
     "tbl_merge" -> ((s, d) => Relational.tblMerge(s, d)),
     "tbl_mor" -> ((s, d) => Relational.tblMor(s, d)),
     "tbl_incr" -> ((s, d) => Relational.tblIncr(s, d)),
@@ -619,6 +620,14 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
         |FROM events""".stripMargin,
+    // cell-partitioned table + AOI read: scenes rect-intersecting the AOI
+    "tbl_part" -> {
+      val (axmin, aymin, axmax, aymax) = GeoQueries.TblPartAoi
+      s"""WITH scenes AS (${SynthCorpus.scenesSql})
+         |SELECT doc_id, xmin, ymin FROM scenes
+         |WHERE xmin <= $axmax AND xmax >= $axmin
+         |  AND ymin <= $aymax AND ymax >= $aymin""".stripMargin
+    },
     "tbl_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice
         |              FROM orders WHERE o_orderkey % 7 = 0),
@@ -739,6 +748,32 @@ object GeoQueries {
   def tileAssign(s: SparkSession, dir: String): DataFrame =
     TileAssign.assign(scenesFromOrders(s, dir), tiles(s))
       .select(col("doc_id"), col("tile_id"))
+
+  /** AOI used by [[tblPart]] and its oracle — one rect, stated once. */
+  val TblPartAoi: (Double, Double, Double, Double) = (-60.0, -30.0, -20.0, 10.0)
+
+  /** The flagship doc corpus in a `cell[4]`-partitioned IcebergLite table
+    * (hidden partitioning — the round-6 headline: SpatialLayout's
+    * cell-directory pruning unified into the snapshot/manifest plane), read
+    * back through [[graft.table.IcebergLite.readAoi]]'s partition-first
+    * prune. The oracle is pure rectangle arithmetic on the same scene
+    * lattice, so the result checks the whole path: hidden layout at write,
+    * cover-range pruning at read, exact st_intersects residual. */
+  def tblPart(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_part_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(dir, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    if (IcebergLite.currentSnapshotId(table).isEmpty)
+      IcebergLite.createPartitioned(s, scenesFromOrders(s, dir), table,
+        Seq(IcebergLite.PartitionField("cell", "wkt", "cell[4]")),
+        Seq("doc_id"), "c1")
+    val (axmin, aymin, axmax, aymax) = TblPartAoi
+    IcebergLite.readAoi(s, table, graft.geom.Geo.rectWkt(axmin, aymin, axmax, aymax))
+      .select(col("doc_id"), col("xmin"), col("ymin"))
+  }
 
   /** J2 gridded-name path: scene names carrying the tile key in the three
     * reference naming families (MGRS / WRS path-row / MODIS hv), parsed and

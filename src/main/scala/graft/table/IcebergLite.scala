@@ -39,13 +39,47 @@ object IcebergLite {
     * sequence-number scoping real Iceberg v2 uses. Old manifests parse with
     * seq 0 (every delete applies — the conservative reading). */
   case class FileEntry(path: String, rows: Long, min: Map[String, String],
-                       max: Map[String, String], seq: Long = 0L)
+                       max: Map[String, String], seq: Long = 0L,
+                       partition: Map[String, String] = Map.empty)
 
   /** An equality-delete file: parquet of key tuples (PHYSICAL column names
     * `keys`) at `path`, committed at snapshot `seq`. A data row is deleted
     * iff its key tuple appears in a delete file with seq > the row's file
     * seq. */
   case class DeleteEntry(path: String, seq: Long, keys: Seq[String])
+
+  /**
+   * One field of a table's partition spec — Iceberg's HIDDEN partitioning:
+   * the spec lives in table metadata, writers derive the partition value
+   * from `source` via `transform` automatically (callers never manage a
+   * layout column), and data files land under `p_<name>=<value>/`
+   * directories inside each commit. Readers prune on the per-file
+   * partition value BEFORE consulting column min/max stats.
+   *
+   * Transforms (the Iceberg spec set, plus a spatial one):
+   *  - `identity`      — the source value itself
+   *  - `bucket[N]`     — `pmod(murmur3(source), N)`
+   *  - `truncate[W]`   — numeric: `floor(source / W) * W`; string: prefix W
+   *  - `year`/`month`/`day` — calendar truncation of a date/timestamp
+   *  - `cell[R]`       — MIN covering [[graft.cells.CellIndex]] cell of a
+   *    WKT geometry at resolution R. A footprint spanning several cells is
+   *    stored ONCE (under its min cell — no replication, table row count
+   *    is exact); commits additionally auto-index the full cover range
+   *    per file (`cover_<name>` stats), and [[readAoi]] prunes on that
+   *    range, so spanning footprints are never lost to pruning. This is
+   *    the manifest-layer form of the reference's S3 prefix-scoped listing
+   *    (`utils/prep_utils.py:368-387` — one prefix per granule/tile).
+   */
+  case class PartitionField(name: String, source: String, transform: String)
+
+  private val BucketT = """bucket\[(\d+)\]""".r
+  private val TruncateT = """truncate\[(\d+)\]""".r
+  private val CellT = """cell\[(\d+)\]""".r
+
+  /** Directory/column name a partition field writes under. A plain prefix
+    * (no underscore): `_`-prefixed directories are hidden from Hadoop
+    * listings, which would break the stats pass. */
+  private def partColName(f: PartitionField): String = s"p_${f.name}"
 
   /** `renames` maps LOGICAL column name → PHYSICAL (in-file) column name
     * for fields whose logical name has diverged via [[renameColumn]] —
@@ -61,7 +95,8 @@ object IcebergLite {
   case class Snapshot(id: Long, parent: Long, schemaJson: String, files: Seq[FileEntry],
                       renames: Map[String, String] = Map.empty,
                       deletes: Seq[DeleteEntry] = Nil,
-                      commitIds: Set[String] = Set.empty) {
+                      commitIds: Set[String] = Set.empty,
+                      spec: Seq[PartitionField] = Nil) {
     def physical(logical: String): String = renames.getOrElse(logical, logical)
   }
 
@@ -280,10 +315,78 @@ object IcebergLite {
     * Until [[commitWritten]] runs, the files are unreferenced — a crash here
     * is invisible to readers, exactly the SAC_DONE re-scan semantics.
     * Takes LOGICAL column names; renamed columns are stored under their
-    * stable physical names so every data file of the table is uniform. */
+    * stable physical names so every data file of the table is uniform.
+    * A table with a partition spec lays this commit's files out by derived
+    * partition value (HIDDEN partitioning — the caller passes raw rows). */
   def writeData(df: DataFrame, table: String, commitId: String): Unit =
-    toPhysical(df, table).write.mode("overwrite")
-      .parquet(Paths.get(table, "data", commitId).toString)
+    writeDataSpec(df, table, commitId, readSnapshot(table).map(_.spec).getOrElse(Nil))
+
+  private def writeDataSpec(df: DataFrame, table: String, commitId: String,
+                            spec: Seq[PartitionField]): Unit = {
+    val dir = Paths.get(table, "data", commitId).toString
+    val phys = toPhysical(df, table)
+    if (spec.isEmpty) phys.write.mode("overwrite").parquet(dir)
+    else {
+      val physFn = readSnapshot(table).map(s => s.physical _).getOrElse(identity[String] _)
+      val withP = spec.foldLeft(phys)((acc, f) =>
+        acc.withColumn(partColName(f), partitionExpr(f, df.schema, physFn)))
+      // one repartition by partition value clusters each partition's rows
+      // into as few files as the value's volume needs; partitionBy then
+      // routes them into p_<name>=<value>/ dirs (values are NOT stored in
+      // the files — the layout and the manifest carry them)
+      withP.repartition(spec.map(f => col(partColName(f))): _*)
+        .write.mode("overwrite")
+        .partitionBy(spec.map(partColName): _*)
+        .parquet(dir)
+    }
+  }
+
+  /** The hidden-partition derivation for one spec field (logical `source`
+    * resolved to its physical column). */
+  private def partitionExpr(f: PartitionField,
+                            schema: org.apache.spark.sql.types.StructType,
+                            phys: String => String): Column = {
+    import org.apache.spark.sql.types._
+    val src = col(phys(f.source))
+    def srcType: DataType = schema.fields.find(_.name == f.source)
+      .getOrElse(throw new IllegalArgumentException(
+        s"partition source ${f.source} not in schema")).dataType
+    f.transform match {
+      case "identity" => src
+      case BucketT(n) => pmod(hash(src), lit(n.toInt))
+      case TruncateT(w) => srcType match {
+        case StringType => substring(src, 1, w.toInt)
+        case _: NumericType => (floor(src / w.toInt) * w.toInt).cast(srcType)
+        case t => throw new IllegalArgumentException(s"truncate on ${t.simpleString}")
+      }
+      case "year" => date_format(src, "yyyy")
+      case "month" => date_format(src, "yyyy-MM")
+      case "day" => date_format(src, "yyyy-MM-dd")
+      case CellT(r) =>
+        array_min(graft.functions.GeoFunctions.cellCoverUdf(src, lit(r.toInt)))
+      case t => throw new IllegalArgumentException(s"unknown partition transform $t")
+    }
+  }
+
+  /** Create a table with a partition spec in its first commit. The spec is
+    * table metadata from then on: every later [[append]]/[[merge]]/
+    * [[compact]] lays its files out by the same derived values without the
+    * caller repeating anything. */
+  def createPartitioned(spark: SparkSession, df: DataFrame, table: String,
+                        spec: Seq[PartitionField], statsCols: Seq[String],
+                        commitId: String): Snapshot = {
+    require(currentSnapshotId(table).isEmpty, s"$table already exists")
+    require(spec.nonEmpty, "empty partition spec; use append")
+    spec.foreach { f =>
+      require(df.schema.fieldNames.contains(f.source),
+        s"partition source ${f.source} not in schema")
+      require(!df.schema.fieldNames.contains(partColName(f)),
+        s"column ${partColName(f)} collides with partition field ${f.name}")
+    }
+    writeDataSpec(df, table, commitId, spec)
+    commitWritten(spark, df.schema.json, table, statsCols, commitId,
+      specOverride = Some(spec))
+  }
 
   /**
    * Compaction (Iceberg's `rewrite_data_files`): read the current snapshot,
@@ -312,10 +415,20 @@ object IcebergLite {
                     statsExprs: Map[String, (Column, Column)] = Map.empty,
                     carryFiles: Seq[FileEntry] = Nil,
                     carryDeletes: Seq[DeleteEntry] = Nil,
-                    autoStats: Boolean = true): Snapshot = {
+                    autoStats: Boolean = true,
+                    specOverride: Option[Seq[PartitionField]] = None): Snapshot = {
     val dataDir = Paths.get(table, "data", commitId)
     val prev = readSnapshot(table)
     val phys = prev.map(s => s.physical _).getOrElse(identity[String] _)
+    val spec = specOverride.orElse(prev.map(_.spec)).getOrElse(Nil)
+    // cell-partitioned tables auto-index each file's FULL cover range
+    // (min/max over every covering cell, not just the min cell the layout
+    // uses) — [[readAoi]]'s pruning layer for spanning footprints
+    val cellStatsExprs = spec.collect {
+      case f @ PartitionField(_, src, CellT(r)) =>
+        val cover = graft.functions.GeoFunctions.cellCoverUdf(col(phys(src)), lit(r.toInt))
+        s"cover_${f.name}" -> (array_min(cover), array_max(cover))
+    }.toMap
     // Auto-stats (Iceberg's write.metadata.metrics default): a commit with
     // NO explicit stats request still indexes every top-level atomic column
     // (capped at 32 for metadata size), so pruned reads and file-targeted
@@ -337,11 +450,12 @@ object IcebergLite {
     // statsExprs carry (per-row lo, per-row hi) Columns for derived values
     // — e.g. min/max over a nested array field, which prunes band-filter
     // scans at the file level without any flat column materialized
-    val statNames = effStatsCols ++ statsExprs.keys.toSeq.sorted
+    val effStatsExprs = statsExprs ++ cellStatsExprs
+    val statNames = effStatsCols ++ effStatsExprs.keys.toSeq.sorted
     val statAggs = effStatsCols.flatMap(c =>
       Seq(min(col(phys(c))).cast("string").as(s"min_$c"),
         max(col(phys(c))).cast("string").as(s"max_$c"))) ++
-      statsExprs.toSeq.sortBy(_._1).flatMap { case (n, (lo, hi)) =>
+      effStatsExprs.toSeq.sortBy(_._1).flatMap { case (n, (lo, hi)) =>
         Seq(min(lo).cast("string").as(s"min_$n"), max(hi).cast("string").as(s"max_$n"))
       }
     // explicit PHYSICAL schema: skips the footer-inference job every commit
@@ -355,11 +469,25 @@ object IcebergLite {
       .agg(count(lit(1)).as("rows"), statAggs: _*)
       .collect()
     val parent = currentSnapshotId(table).getOrElse(-1L)
+    // partition values are carried by the hive-style path segments the
+    // spec-aware write laid down (p_<name>=<value>); a null partition value
+    // writes __HIVE_DEFAULT_PARTITION__, recorded as no value → the file is
+    // conservatively kept by every partition prune
+    val PartSeg = "([^/=]+)=([^/]+)".r
+    def partOf(path: String): Map[String, String] =
+      if (spec.isEmpty) Map.empty
+      else {
+        val names = spec.map(partColName).toSet
+        path.split('/').collect {
+          case PartSeg(n, v) if names.contains(n) && v != "__HIVE_DEFAULT_PARTITION__" =>
+            n.stripPrefix("p_") -> v
+        }.toMap
+      }
     val entries = stats.map { r =>
       FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
         statNames.map(c => c -> String.valueOf(r.getAs[Any](s"min_$c"))).toMap,
         statNames.map(c => c -> String.valueOf(r.getAs[Any](s"max_$c"))).toMap,
-        seq = parent + 1)
+        seq = parent + 1, partition = partOf(r.getAs[String]("path")))
     }.toSeq.sortBy(_.path)
 
     // keepPrev carries the whole previous state (append); a replacing commit
@@ -376,7 +504,7 @@ object IcebergLite {
       .getOrElse(Set.empty[String]) + commitId
     commitSnapshot(table, Snapshot(parent + 1, parent, schemaJson,
       prevFiles ++ carryFiles ++ entries, prev.map(_.renames).getOrElse(Map.empty),
-      prevDeletes ++ carryDeletes, ledger))
+      prevDeletes ++ carryDeletes, ledger, spec))
   }
 
   /** Write snapshot-N.json, then atomically swap CURRENT — the commit tail
@@ -446,6 +574,8 @@ object IcebergLite {
     require(narrowed.nonEmpty, "cannot drop the last column")
     require(snap.deletes.forall(d => !d.keys.contains(snap.physical(name))),
       s"column $name is a pending equality-delete key; compact first")
+    require(!snap.spec.exists(_.source == name),
+      s"column $name is a partition source; drop the partition field first")
     commitSnapshot(table, snap.copy(id = snap.id + 1, parent = snap.id,
       schemaJson = narrowed.json, renames = snap.renames - name))
   }
@@ -467,8 +597,14 @@ object IcebergLite {
     val physicalName = snap.physical(from)
     val renamed = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
+    // the partition spec tracks the LOGICAL source name — it follows renames
+    // (the hidden-partitioning contract: the layout never cares what the
+    // column is called today)
+    val renamedSpec = snap.spec.map(f =>
+      if (f.source == from) f.copy(source = to) else f)
     commitSnapshot(table, snap.copy(id = snap.id + 1, parent = snap.id,
-      schemaJson = renamed.json, renames = (snap.renames - from) + (to -> physicalName)))
+      schemaJson = renamed.json, renames = (snap.renames - from) + (to -> physicalName),
+      spec = renamedSpec))
   }
 
   /**
@@ -699,13 +835,31 @@ object IcebergLite {
       commitIds = curSnap.commitIds ++ target.commitIds))
   }
 
+  /** Per-file PARTITION-VALUE constraints — evaluated BEFORE column
+    * min/max stats ([[surviving]]); a partition value is a single exact
+    * value per file, so membership/range checks are exact, not ranges of
+    * ranges. Files without a value for a constrained field (pre-spec
+    * commits, null partitions) are conservatively kept. */
+  private[table] case class PartPrune(in: Map[String, Set[String]] = Map.empty,
+                                      rangeNum: Map[String, (Double, Double)] = Map.empty,
+                                      rangeStr: Map[String, (Option[String], Option[String])] = Map.empty) {
+    def isEmpty: Boolean = in.isEmpty && rangeNum.isEmpty && rangeStr.isEmpty
+    def keeps(f: FileEntry): Boolean =
+      in.forall { case (n, vs) => f.partition.get(n).forall(vs.contains) } &&
+        rangeNum.forall { case (n, (lo, hi)) =>
+          f.partition.get(n).forall { v => val d = v.toDouble; d >= lo && d <= hi } } &&
+        rangeStr.forall { case (n, (lo, hi)) =>
+          f.partition.get(n).forall(v => !(lo.exists(v < _) || hi.exists(v > _))) }
+  }
+
   private def surviving(snap: Snapshot, prune: Map[String, (Double, Double)],
                         pruneStr: Map[String, (String, String)],
                         pruneInNum: Map[String, Seq[Double]] = Map.empty,
                         pruneInStr: Map[String, Seq[String]] = Map.empty,
-                        pruneStrOpt: Map[String, (Option[String], Option[String])] = Map.empty)
+                        pruneStrOpt: Map[String, (Option[String], Option[String])] = Map.empty,
+                        partPrune: PartPrune = PartPrune())
       : Seq[FileEntry] =
-    snap.files.filter { f =>
+    snap.files.filter(partPrune.keeps).filter { f =>
       def stats(c: String): Option[(String, String)] =
         (f.min.get(c), f.max.get(c)) match {
           case (Some(mn), Some(mx)) if mn != "null" && mx != "null" => Some((mn, mx))
@@ -762,7 +916,121 @@ object IcebergLite {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val b = extractBounds(spark, snap, predicate)
     readFiles(spark, snap,
-      surviving(snap, b.num, Map.empty, b.inNum, b.inStr, b.str)).where(predicate)
+      surviving(snap, b.num, Map.empty, b.inNum, b.inStr, b.str,
+        partitionPrune(snap, b))).where(predicate)
+  }
+
+  /**
+   * Map the predicate's per-SOURCE-column bounds ([[extractBounds]]) through
+   * the table's partition spec into per-FILE partition-value constraints —
+   * the layer Iceberg evaluates before any column stats. Each transform maps
+   * bounds conservatively: identity passes them through, `bucket[N]` maps
+   * equality points/IN-lists to their murmur3 bucket, `truncate[W]` floors
+   * numeric bounds (truncation is monotone), and `year`/`month`/`day` take
+   * the ISO-string prefix (also monotone). Value sets on numeric identity
+   * fields collapse to their envelope here — the stats layer still exploits
+   * the gaps per file. `cell[]` fields contribute nothing (spatial pruning
+   * is [[readAoi]]'s cover-range check).
+   */
+  private[table] def partitionPrune(snap: Snapshot, b: Bounds): PartPrune = {
+    import org.apache.spark.sql.types._
+    if (snap.spec.isEmpty) return PartPrune()
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    var in = Map.empty[String, Set[String]]
+    var rn = Map.empty[String, (Double, Double)]
+    var rs = Map.empty[String, (Option[String], Option[String])]
+    snap.spec.foreach { f =>
+      val srcT = schema.fields.find(_.name == f.source).map(_.dataType)
+      f.transform match {
+        case "identity" =>
+          b.num.get(f.source).foreach(r => rn += f.name -> r)
+          b.inNum.get(f.source).filter(_.nonEmpty)
+            .foreach(vs => rn += f.name -> (vs.min, vs.max))
+          if (srcT.contains(StringType) || srcT.contains(DateType)) {
+            // timestamp partition values are URL-escaped in paths (colons)
+            // — no lexicographic guarantee, so only strings/dates prune here
+            b.str.get(f.source).foreach(r => rs += f.name -> r)
+            b.inStr.get(f.source).foreach(vs => in += f.name -> vs.toSet)
+          }
+        case BucketT(n) =>
+          val pts: Seq[Any] = srcT match {
+            case Some(LongType) =>
+              b.num.get(f.source).collect { case (lo, hi) if lo == hi && lo.isWhole => Seq(lo.toLong) }
+                .getOrElse(b.inNum.getOrElse(f.source, Nil).filter(_.isWhole).map(_.toLong))
+            case Some(IntegerType) =>
+              b.num.get(f.source).collect { case (lo, hi) if lo == hi && lo.isWhole => Seq(lo.toInt) }
+                .getOrElse(b.inNum.getOrElse(f.source, Nil).filter(_.isWhole).map(_.toInt))
+            case Some(StringType) =>
+              b.str.get(f.source).collect { case (Some(lo), Some(hi)) if lo == hi => Seq(lo) }
+                .getOrElse(b.inStr.getOrElse(f.source, Nil))
+            case _ => Nil
+          }
+          if (pts.nonEmpty)
+            in += f.name -> pts.map(v => bucketOf(v, srcT.get, n.toInt).toString).toSet
+        case TruncateT(w) => srcT match {
+          case Some(_: NumericType) => b.num.get(f.source).foreach { case (lo, hi) =>
+            def tr(x: Double) =
+              if (x.isInfinite) x else math.floor(x / w.toInt) * w.toInt
+            rn += f.name -> (tr(lo), tr(hi))
+          }
+          case Some(StringType) => b.str.get(f.source).foreach { case (lo, hi) =>
+            rs += f.name -> (lo.map(_.take(w.toInt)), hi.map(_.take(w.toInt)))
+          }
+          case _ => ()
+        }
+        case "year" => b.str.get(f.source).foreach { case (lo, hi) =>
+          rs += f.name -> (lo.map(_.take(4)), hi.map(_.take(4))) }
+        case "month" => b.str.get(f.source).foreach { case (lo, hi) =>
+          rs += f.name -> (lo.map(_.take(7)), hi.map(_.take(7))) }
+        case "day" => b.str.get(f.source).foreach { case (lo, hi) =>
+          rs += f.name -> (lo.map(_.take(10)), hi.map(_.take(10))) }
+        case _ => ()
+      }
+    }
+    PartPrune(in, rn, rs)
+  }
+
+  /** The bucket a literal lands in — the same murmur3 (seed 42) + pmod the
+    * spec-aware write's `pmod(hash(col), N)` computes, evaluated on the
+    * driver via the identical Catalyst expressions. */
+  private def bucketOf(v: Any, dt: org.apache.spark.sql.types.DataType, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    Pmod(new Murmur3Hash(Seq(Literal.create(v, dt))), Literal(n))
+      .eval(null).asInstanceOf[Int]
+  }
+
+  /**
+   * AOI-scoped read of a `cell[R]`-partitioned table: candidate cells =
+   * the AOI's cover at R; a file survives iff its auto-collected
+   * `cover_<field>` range ([[commitWritten]]) can contain a candidate —
+   * partition-grouped files carry tight cover ranges, so an AOI read opens
+   * only the partitions the AOI touches, under full snapshot isolation.
+   * Exactness does not depend on the pruning: footprints spanning several
+   * cells are stored once (min cell) but their file's cover range includes
+   * every spanned cell, and the residual `st_intersects` filter runs on all
+   * surviving rows. Files without cover stats are conservatively kept.
+   */
+  def readAoi(spark: SparkSession, table: String, aoiWkt: String): DataFrame = {
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val (f, res) = snap.spec.collectFirst {
+      case pf @ PartitionField(_, _, CellT(r)) => (pf, r.toInt)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$table has no cell[] partition field"))
+    val cells = graft.geom.Geo.cellCoverWkt(aoiWkt, res).sorted
+    val statName = s"cover_${f.name}"
+    val files = snap.files.filter { fe =>
+      (fe.min.get(statName), fe.max.get(statName)) match {
+        case (Some(mn), Some(mx)) if mn != "null" && mx != "null" =>
+          val lo = mn.toLong; val hi = mx.toLong
+          var i = java.util.Arrays.binarySearch(cells, lo)
+          if (i < 0) i = -i - 1
+          i < cells.length && cells(i) <= hi
+        case _ => true
+      }
+    }
+    readFiles(spark, snap, files)
+      .where(graft.functions.GeoFunctions.stIntersectsUdf(lit(aoiWkt), col(f.source)))
   }
 
   private[table] case class Bounds(num: Map[String, (Double, Double)],
@@ -918,9 +1186,10 @@ object IcebergLite {
   private def renderSnapshot(s: Snapshot): String = {
     def m(mm: Map[String, String]) =
       mm.toSeq.sortBy(_._1).map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val files = s.files.map(f =>
-      s"""{"path":"${esc(f.path)}","rows":${f.rows},"min":${m(f.min)},"max":${m(f.max)},"seq":${f.seq}}""")
-      .mkString("[", ",", "]")
+    val files = s.files.map { f =>
+      val part = if (f.partition.isEmpty) "" else s""","partition":${m(f.partition)}"""
+      s"""{"path":"${esc(f.path)}","rows":${f.rows},"min":${m(f.min)},"max":${m(f.max)},"seq":${f.seq}$part}"""
+    }.mkString("[", ",", "]")
     val ren = if (s.renames.isEmpty) "" else s""","renames":${m(s.renames)}"""
     val del = if (s.deletes.isEmpty) "" else s.deletes.map(d =>
       s"""{"path":"${esc(d.path)}","seq":${d.seq},"keys":${d.keys.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")}}""")
@@ -928,7 +1197,10 @@ object IcebergLite {
     val cids = if (s.commitIds.isEmpty) "" else
       s.commitIds.toSeq.sorted.map(c => s""""${esc(c)}"""")
         .mkString(""","commit_ids":[""", ",", "]")
-    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files$ren$del$cids}"""
+    val spec = if (s.spec.isEmpty) "" else s.spec.map(f =>
+      s"""{"name":"${esc(f.name)}","source":"${esc(f.source)}","transform":"${esc(f.transform)}"}""")
+      .mkString(""","spec":[""", ",", "]")
+    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files$ren$del$cids$spec}"""
   }
 
   /** Tiny recursive-descent JSON parser for our own snapshot format. */
@@ -942,7 +1214,9 @@ object IcebergLite {
         f("rows").asInstanceOf[Double].toLong,
         f("min").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
         f("max").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
-        f.get("seq").map(_.asInstanceOf[Double].toLong).getOrElse(0L))
+        f.get("seq").map(_.asInstanceOf[Double].toLong).getOrElse(0L),
+        f.get("partition").map(_.asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty))
     }
     val deletes = obj.get("deletes").map(_.asInstanceOf[List[Any]].map { dd =>
       val d = dd.asInstanceOf[Map[String, Any]]
@@ -955,7 +1229,12 @@ object IcebergLite {
         .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty),
       deletes,
       obj.get("commit_ids").map(_.asInstanceOf[List[Any]].map(_.toString).toSet)
-        .getOrElse(Set.empty))
+        .getOrElse(Set.empty),
+      obj.get("spec").map(_.asInstanceOf[List[Any]].map { so =>
+        val f = so.asInstanceOf[Map[String, Any]]
+        PartitionField(f("name").asInstanceOf[String],
+          f("source").asInstanceOf[String], f("transform").asInstanceOf[String])
+      }).getOrElse(Nil))
   }
 }
 
