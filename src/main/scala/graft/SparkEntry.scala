@@ -124,6 +124,12 @@ object SparkEntry {
     "tbl_incr" -> ((s, d) => Relational.tblIncr(s, d)),
     "tbl_travel" -> ((s, d) => Relational.tblTravel(s, d)),
     "str_incr" -> ((s, d) => Relational.strIncr(s, d)),
+    // rediswq lease TTL lifecycle: lost leases requeue (stateful tracker
+    // vs a lag()-replay DuckDB twin of the same state machine)
+    "str_requeue" -> ((s, d) => Relational.strRequeue(s, d)),
+    // MoR delete-debt auto-maintenance: policy-triggered compaction in the
+    // read path of the query itself
+    "tbl_maintain" -> ((s, d) => Relational.tblMaintain(s, d)),
     "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
@@ -674,6 +680,50 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey,
         |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
         |FROM orders WHERE o_orderkey % 11 IN (0, 1, 2)""".stripMargin,
+    // lag()-replay twin of the TTL lease state machine: after a complete
+    // the pending lease resets, so the previous EVENT being a lease is
+    // exactly "a lease is pending"; the tie rule (complete before lease at
+    // equal ts) is the sort's second key in both engines
+    "str_requeue" ->
+      """WITH e AS (
+        |  SELECT concat('it', lpad(cast(user_id % 200 AS varchar), 3, '0')) AS item_id,
+        |         epoch_us(ts) AS us,
+        |         CASE WHEN event_id % 3 = 0 THEN 'complete' ELSE 'lease' END AS ev
+        |  FROM events),
+        |nw AS (SELECT max(us) AS now_us FROM e),
+        |o AS (
+        |  SELECT item_id, us, ev,
+        |         lag(ev) OVER w AS pev, lag(us) OVER w AS pus,
+        |         row_number() OVER (PARTITION BY item_id
+        |                            ORDER BY us DESC, (ev = 'lease') DESC) AS rl
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY item_id ORDER BY us ASC, (ev = 'lease') ASC)),
+        |a AS (
+        |  SELECT item_id,
+        |         cast(sum(CASE WHEN ev = 'lease' THEN 1 ELSE 0 END) AS bigint) AS leases,
+        |         cast(sum(CASE WHEN ev = 'complete' THEN 1 ELSE 0 END) AS bigint) AS completes,
+        |         cast(sum(CASE WHEN pev = 'lease' AND us >= pus + 3600000000 THEN 1 ELSE 0 END) AS bigint) AS rq,
+        |         max(CASE WHEN rl = 1 AND ev = 'lease' THEN us END) AS pending_us
+        |  FROM o GROUP BY item_id)
+        |SELECT item_id, leases, completes,
+        |       rq + CASE WHEN pending_us IS NOT NULL
+        |                  AND now_us >= pending_us + 3600000000 THEN 1 ELSE 0 END AS requeues,
+        |       CASE WHEN pending_us IS NULL THEN 'done'
+        |            WHEN now_us >= pending_us + 3600000000 THEN 'requeued'
+        |            ELSE 'in_flight' END AS state
+        |FROM a, nw""".stripMargin,
+    // five stacked MoR upserts (batch 5 supersedes batch 1's %35=0 class),
+    // then policy-triggered compaction; content must survive maintenance
+    "tbl_maintain" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE
+        |    WHEN o_orderkey % 35 = 0 THEN (cast(floor(o_totalprice) AS bigint) + 99) * 100
+        |    WHEN o_orderkey % 35 = 7 THEN (cast(floor(o_totalprice) AS bigint) + 2) * 100
+        |    WHEN o_orderkey % 35 = 14 THEN (cast(floor(o_totalprice) AS bigint) + 3) * 100
+        |    WHEN o_orderkey % 35 = 21 THEN (cast(floor(o_totalprice) AS bigint) + 4) * 100
+        |    ELSE cast(floor(o_totalprice * 100) AS bigint)
+        |  END AS price_c
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
     // time travel to the second commit: slices %11 = 0, 1 (commit 3 invisible)
     "tbl_travel" ->
       """SELECT o_orderkey, o_custkey,
@@ -1604,6 +1654,62 @@ object Relational {
       IcebergLite.append(s, slice(2), src, Seq("o_orderkey"), "c3")
     drain()
     IcebergLite.read(s, tgt).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** The full `rediswq` lease lifecycle as a driver-oracled query
+    * (`rediswq.py:58-101`): deterministic lease/complete events derived
+    * from the `events` table flow through
+    * [[graft.streaming.Streams.leaseTrackerTtl]]; the DuckDB twin replays
+    * the same state machine with `lag()` — a requeue is any lease or
+    * complete arriving a full TTL after the still-pending previous lease,
+    * plus the evaluation-time lapse of an uncompleted final lease. One
+    * keyed exchange; per-item state is a handful of counters. */
+  def strRequeue(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.Streams
+    import s.implicits._
+    val ev = t(s, d, "events").select(
+      concat(lit("it"), lpad((col("user_id") % 200).cast("string"), 3, "0")).as("itemId"),
+      unix_micros(col("ts").cast("timestamp")).as("ts"), // NTZ → UTC instant
+      when(col("event_id") % 3 === 0, "complete").otherwise("lease").as("event"))
+    val nowTs = ev.agg(max("ts")).head.getLong(0)
+    Streams.leaseTrackerTtl(ev.as[Streams.Lease], ttl = 3600L * 1000000L, nowTs = nowTs)
+      .toDF().select(col("itemId").as("item_id"), col("leases"),
+        col("completes"), col("requeues"), col("state"))
+  }
+
+  /** MoR auto-maintenance as a driver-oracled query: five equality-delete
+    * upsert commits stack on a base table (batch 5 superseding batch 1's
+    * keys), then [[graft.table.IcebergLite.maintain]] under a tight policy
+    * compacts the debt — the returned read goes through the post-compact
+    * snapshot, so a maintenance bug that loses or resurrects rows breaks
+    * the relational oracle. Every step is idempotent (commitId ledger), so
+    * crash/re-runs land on the same content. */
+  def tblMaintain(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_maint_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    val orders = t(s, d, "orders")
+    if (IcebergLite.currentSnapshotId(table).isEmpty) {
+      val base = orders.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      IcebergLite.append(s, base, table, Seq("o_orderkey"), "base")
+    }
+    def up(klass: Int, bump: Int) = orders
+      .where(col("o_orderkey") % 35 === klass)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (floor(col("o_totalprice")) + bump).cast("double").as("o_totalprice"))
+    Seq((0, 1), (7, 2), (14, 3), (21, 4), (0, 99)).zipWithIndex.foreach {
+      case ((klass, bump), i) =>
+        IcebergLite.mergeOnRead(s, table, up(klass, bump),
+          Seq("o_orderkey"), Seq("o_orderkey"), s"m${i + 1}")
+    }
+    IcebergLite.maintain(s, table, Seq("o_orderkey"), "maint",
+      IcebergLite.MaintenancePolicy(maxPendingDeleteFiles = 2))
+    IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
       floor(col("o_totalprice") * 100).as("price_c"))
   }
 

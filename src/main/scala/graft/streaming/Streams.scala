@@ -421,4 +421,69 @@ object Streams {
           LeaseStatus(id, l, c, if (c >= l) "done" else "in_flight")
       }
   }
+
+  case class LeaseTtlStatus(itemId: String, leases: Long, completes: Long,
+                            requeues: Long, state: String)
+
+  /**
+   * TTL-aware lease tracker — the full `rediswq` lease lifecycle
+   * (`rediswq.py:81-101`): `lease(lease_secs)` takes an item from the main
+   * queue and SETEXes a lease key; if the worker stalls past the TTL the
+   * key expires and the item is eligible to move BACK to the main queue
+   * (the `check_expired_leases` GC, `rediswq.py:58-71`) where another
+   * worker re-leases it; `complete` deletes the lease key.
+   *
+   * Replays each item's events in timestamp order (ties: complete before
+   * lease — `complete()` deletes the lease key before any re-lease can
+   * observe it) and counts every TTL lapse as a requeue:
+   *  - a new lease arriving >= prevLease + ttl means the previous lease
+   *    expired and the item came back through the main queue (lost-lease
+   *    retry by another worker);
+   *  - a complete arriving >= lease + ttl is the reference's documented
+   *    at-least-once hazard: the GC already requeued the item, the late
+   *    `complete` still lrem's it from the processing queue — counted as
+   *    BOTH a requeue and a completion;
+   *  - an uncompleted lease whose TTL lapses before `nowTs` (the
+   *    evaluation instant — in redis terms "when the GC runs") is
+   *    `requeued`: back on the main queue, nobody holds it.
+   * Final state: `done` (completed, nothing outstanding), `in_flight`
+   * (lease live at nowTs), or `requeued` (lapsed, awaiting re-lease).
+   *
+   * Scale shape: one `mapGroupsWithState` over itemId — a single keyed
+   * exchange; per-item replay is O(events log events) with events =
+   * the handful of lease/complete transitions an item ever sees.
+   */
+  case class LeaseTtlState(leases: Long, completes: Long, requeues: Long,
+                           pending: Long) // pending = live lease ts, -1 = none
+
+  def leaseTrackerTtl(events: org.apache.spark.sql.Dataset[Lease], ttl: Long,
+                      nowTs: Long): org.apache.spark.sql.Dataset[LeaseTtlStatus] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.itemId)
+      .mapGroupsWithState[LeaseTtlState, LeaseTtlStatus](GroupStateTimeout.NoTimeout()) {
+        (id: String, batch: Iterator[Lease], state: GroupState[LeaseTtlState]) =>
+          val prev = state.getOption.getOrElse(LeaseTtlState(0, 0, 0, -1L))
+          var leases = prev.leases; var completes = prev.completes
+          var requeues = prev.requeues; var pending = prev.pending
+          val evs = batch.toArray.sortBy(e => (e.ts, if (e.event == "complete") 0 else 1))
+          evs.foreach { e =>
+            if (e.event == "lease") {
+              if (pending >= 0 && e.ts >= pending + ttl) requeues += 1
+              leases += 1; pending = e.ts
+            } else {
+              completes += 1
+              if (pending >= 0 && e.ts >= pending + ttl) requeues += 1
+              pending = -1
+            }
+          }
+          state.update(LeaseTtlState(leases, completes, requeues, pending))
+          // evaluation-time view at nowTs (not folded into carried state:
+          // the same lease must not count a second requeue next batch)
+          val (st, rq) =
+            if (pending < 0) ("done", requeues)
+            else if (nowTs >= pending + ttl) ("requeued", requeues + 1)
+            else ("in_flight", requeues)
+          LeaseTtlStatus(id, leases, completes, rq, st)
+      }
+  }
 }

@@ -398,9 +398,29 @@ object IcebergLite {
    * per-stage appends grows O(commits × partitions) files without this.
    */
   def compact(spark: SparkSession, table: String, statsCols: Seq[String],
-              commitId: String): Snapshot = {
+              commitId: String, targetFileBytes: Long = 128L << 20): Snapshot = {
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
     val cur = read(spark, table) // snapshot-pinned file list: safe self-read
-    writeData(cur, table, commitId)
+    // A MoR-degraded read is a union whose partition count is the SUM of its
+    // legs' — written as-is, a 33-leg union splinters into ~1000 files and
+    // the "compacted" table reads slower than the debt it retired. Coalesce
+    // to the size-targeted file count (floored at cluster width so the
+    // rewrite and subsequent scans stay parallel). Spec'd tables get their
+    // clustering from writeDataSpec's partition-value repartition instead.
+    val out =
+      if (snap.spec.nonEmpty) cur
+      else {
+        val bytes = snap.files.map { f =>
+          val p = Paths.get(f.path.stripPrefix("file:"))
+          if (Files.exists(p)) Files.size(p) else 0L
+        }.sum
+        val target = math.max(
+          math.ceil(bytes.toDouble / targetFileBytes).toInt,
+          math.min(spark.sparkContext.defaultParallelism, cur.rdd.getNumPartitions))
+        if (cur.rdd.getNumPartitions > target && target > 0) cur.coalesce(target) else cur
+      }
+    writeData(out, table, commitId)
     commitWritten(spark, cur.schema.json, table, statsCols, commitId, keepPrev = false)
   }
 
@@ -722,6 +742,43 @@ object IcebergLite {
     commitWritten(spark, snap.schemaJson, table, (statsCols ++ keyCols).distinct,
       commitId, keepPrev = true,
       carryDeletes = Seq(DeleteEntry(delFile, nextId, physKeys)))
+  }
+
+  /** When to fold pending merge-on-read state back into clean data files.
+    * Every stacked equality-delete commit taxes subsequent reads with one
+    * more broadcast anti-join per older file group ([[readFiles]]); the
+    * MorScale probe measures the degradation curve. Thresholds are in
+    * pending delete FILES and BYTES — the two quantities that grow with
+    * unmaintained upsert streams. */
+  case class MaintenancePolicy(maxPendingDeleteFiles: Int = 8,
+                               maxPendingDeleteBytes: Long = 64L << 20)
+
+  /** (count, total bytes) of the current snapshot's pending equality-delete
+    * files — the read-path debt [[maintain]] bounds. */
+  def pendingDeletes(table: String): (Int, Long) =
+    readSnapshot(table).map { s =>
+      val bytes = s.deletes.map { d =>
+        val p = Paths.get(d.path.stripPrefix("file:"))
+        if (Files.exists(p)) Files.size(p) else 0L
+      }.sum
+      (s.deletes.size, bytes)
+    }.getOrElse((0, 0L))
+
+  /**
+   * Auto-maintenance (Iceberg's `rewrite_data_files` on a schedule, the
+   * policy form): if the table's pending merge-on-read deletes exceed the
+   * policy, [[compact]] — applying every pending delete and resetting reads
+   * to clean scans — and return the new snapshot; otherwise do nothing.
+   * Called after each upsert batch, this bounds read degradation at the
+   * policy knee regardless of how many MoR commits a stream stacks.
+   */
+  def maintain(spark: SparkSession, table: String, statsCols: Seq[String],
+               commitId: String,
+               policy: MaintenancePolicy = MaintenancePolicy()): Option[Snapshot] = {
+    val (nDel, bytes) = pendingDeletes(table)
+    if (nDel > policy.maxPendingDeleteFiles || bytes > policy.maxPendingDeleteBytes)
+      Some(compact(spark, table, statsCols, commitId))
+    else None
   }
 
   /** INSERT OVERWRITE: replace the table's entire content with `df` as one

@@ -241,4 +241,63 @@ class StreamsSpec extends AnyFunSuite {
     assert(out("job2").state == "in_flight" && out("job2").leases == 2) // lost lease retried
     assert(out("job3").state == "done")
   }
+
+  test("TTL lease tracker: lapsed leases requeue (rediswq lease_secs semantics)") {
+    val ttl = 10L
+    val events = Seq(
+      // clean lifecycle: lease then complete inside the TTL
+      Streams.Lease("clean", 1, "lease"), Streams.Lease("clean", 5, "complete"),
+      // lost lease: worker stalls past TTL, another worker re-leases at 15
+      Streams.Lease("lost", 1, "lease"), Streams.Lease("lost", 15, "lease"),
+      // crashed worker: lease lapses with no successor by nowTs
+      Streams.Lease("crash", 1, "lease"),
+      // late complete: GC already requeued, complete still lands (the
+      // reference's documented at-least-once hazard)
+      Streams.Lease("late", 1, "lease"), Streams.Lease("late", 15, "complete")
+    ).toDS()
+    val out = Streams.leaseTrackerTtl(events, ttl, nowTs = 20)
+      .collect().map(s => s.itemId -> s).toMap
+    assert(out("clean").state == "done" && out("clean").requeues == 0)
+    assert(out("lost").state == "in_flight" && out("lost").requeues == 1 &&
+      out("lost").leases == 2)
+    assert(out("crash").state == "requeued" && out("crash").requeues == 1)
+    assert(out("late").state == "done" && out("late").requeues == 1 &&
+      out("late").completes == 1)
+    // evaluated BEFORE any ttl lapse (now=14): an overlapping duplicate
+    // lease inside the TTL and a same-ts complete-then-lease tie add no
+    // requeues — the live lease is simply the newest one
+    val early = Seq(
+      Streams.Lease("dup", 1, "lease"), Streams.Lease("dup", 5, "lease"),
+      Streams.Lease("tie", 1, "lease"), Streams.Lease("tie", 5, "complete"),
+      Streams.Lease("tie", 5, "lease")
+    ).toDS()
+    val out2 = Streams.leaseTrackerTtl(early, ttl, nowTs = 14)
+      .collect().map(s => s.itemId -> s).toMap
+    assert(out2("dup").state == "in_flight" && out2("dup").requeues == 0)
+    assert(out2("tie").state == "in_flight" && out2("tie").requeues == 0 &&
+      out2("tie").completes == 1)
+  }
+
+  test("TTL lease tracker accumulates across micro-batches without double-counting") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Streams.Lease]
+    val q = Streams.leaseTrackerTtl(src.toDS(), ttl = 10L, nowTs = 40)
+      .writeStream.format("memory").queryName("lease_ttl_mb")
+      .outputMode(OutputMode.Update()).trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: job leased at 1 (will lapse), batch 2: re-lease at 20, done at 25
+    src.addData(Streams.Lease("j", 1, "lease"))
+    q.processAllAvailable()
+    src.addData(Streams.Lease("j", 20, "lease"), Streams.Lease("j", 25, "complete"))
+    q.processAllAvailable()
+    val rows = spark.table("lease_ttl_mb").as[Streams.LeaseTtlStatus]
+      .collect().filter(_.itemId == "j")
+    q.stop()
+    // first evaluation saw the lapse as an evaluation-time requeue; the
+    // second counts it exactly once in carried state (lease@20 >= 1+ttl)
+    val fin = rows.last
+    assert(fin.state == "done" && fin.leases == 2 && fin.completes == 1 &&
+      fin.requeues == 1, s"got $fin")
+  }
 }

@@ -671,6 +671,28 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.expireSnapshots(t, keepLast = 1)._1 == Seq(3L))
   }
 
+  test("maintain: MoR delete debt beyond policy triggers compact, resets read path") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 100L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    // 3 stacked MoR batches: below the policy (max 8 files) → no-op
+    (1 to 3).foreach { i =>
+      IcebergLite.mergeOnRead(spark, t,
+        Seq((i.toLong, s"M$i")).toDF("k", "v"), Seq("k"), Seq("k"), s"m$i")
+    }
+    assert(IcebergLite.pendingDeletes(t)._1 == 3)
+    assert(IcebergLite.maintain(spark, t, Seq("k"), "maint0").isEmpty, "below policy: no-op")
+    // tight policy → compact fires, deletes cleared, content identical
+    val before = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    val snap = IcebergLite.maintain(spark, t, Seq("k"), "maint1",
+      IcebergLite.MaintenancePolicy(maxPendingDeleteFiles = 2))
+    assert(snap.isDefined && snap.get.deletes.isEmpty, "policy must compact and clear deletes")
+    val after = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(after == before && after(2L) == "M2" && after.size == 100)
+    // idempotent follow-up: debt is zero now
+    assert(IcebergLite.maintain(spark, t, Seq("k"), "maint2",
+      IcebergLite.MaintenancePolicy(maxPendingDeleteFiles = 0)).isEmpty)
+  }
+
   test("snapshot JSON roundtrip") {
     val s = IcebergLite.Snapshot(3, 2, """{"type":"struct"}""",
       Seq(IcebergLite.FileEntry("/a/b \"q\".parquet", 10,
