@@ -283,8 +283,39 @@ object IcebergLite {
     * consumer's own checkpoint advance ([[graft.streaming.Streams.drainTableIncrement]]). */
   def appendIdempotent(spark: SparkSession, df: DataFrame, table: String,
                        statsCols: Seq[String], commitId: String): Snapshot = {
+    // Per-commitId claim: CONCURRENT attempts at the same commitId share
+    // the data/<commitId>/ directory, so the loser's overwrite could orphan
+    // the winner's just-committed file paths. The claim serializes the
+    // check-write-commit for one commitId only — attempts at different
+    // commitIds still run fully in parallel. (Crash-orphaned claims age out
+    // like the commit lock; sequential replays — the common path — pay one
+    // create+delete.)
     if (alreadyCommitted(table, commitId)) readSnapshot(table).get
-    else append(spark, df, table, statsCols, commitId)
+    else withClaim(table, commitId) {
+      if (alreadyCommitted(table, commitId)) readSnapshot(table).get
+      else append(spark, df, table, statsCols, commitId)
+    }
+  }
+
+  /** O_EXCL claim scoped to one commitId (see [[appendIdempotent]]). */
+  private def withClaim[T](table: String, commitId: String,
+                           staleMs: Long = 300000L)(body: => T): T = {
+    Files.createDirectories(metaDir(table))
+    val claim = metaDir(table).resolve(
+      s"claim-${commitId.replaceAll("[^a-zA-Z0-9_.-]", "_")}.lock")
+    var held = false
+    while (!held) {
+      try { Files.createFile(claim); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(claim).toMillis
+            if (age > staleMs) Files.deleteIfExists(claim) else Thread.sleep(20)
+          } catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    }
+    try body finally Files.deleteIfExists(claim)
   }
 
   /** Has `commitId` ever been committed to `table`? O(1): one read of the
@@ -398,7 +429,8 @@ object IcebergLite {
    * per-stage appends grows O(commits × partitions) files without this.
    */
   def compact(spark: SparkSession, table: String, statsCols: Seq[String],
-              commitId: String, targetFileBytes: Long = 128L << 20): Snapshot = {
+              commitId: String, targetFileBytes: Long = 128L << 20,
+              sortBy: Seq[String] = Nil): Snapshot = {
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val cur = read(spark, table) // snapshot-pinned file list: safe self-read
@@ -408,20 +440,28 @@ object IcebergLite {
     // to the size-targeted file count (floored at cluster width so the
     // rewrite and subsequent scans stay parallel). Spec'd tables get their
     // clustering from writeDataSpec's partition-value repartition instead.
+    val bytes = snap.files.map { f =>
+      val p = Paths.get(f.path.stripPrefix("file:"))
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    val target = math.max(1, math.max(
+      math.ceil(bytes.toDouble / targetFileBytes).toInt,
+      math.min(spark.sparkContext.defaultParallelism, cur.rdd.getNumPartitions)))
+    // Sorted rewrite (Iceberg's rewrite_data_files sort strategy): a MoR
+    // union interleaves update rows with base rows, so the unsorted rewrite
+    // loses the clustering the original appends had — bigger files (worse
+    // parquet encoding) and overlapping manifest min/max (no pruning).
+    // Range-partition + sortWithinPartitions on `sortBy` restores both.
     val out =
-      if (snap.spec.nonEmpty) cur
-      else {
-        val bytes = snap.files.map { f =>
-          val p = Paths.get(f.path.stripPrefix("file:"))
-          if (Files.exists(p)) Files.size(p) else 0L
-        }.sum
-        val target = math.max(
-          math.ceil(bytes.toDouble / targetFileBytes).toInt,
-          math.min(spark.sparkContext.defaultParallelism, cur.rdd.getNumPartitions))
-        if (cur.rdd.getNumPartitions > target && target > 0) cur.coalesce(target) else cur
-      }
+      if (snap.spec.nonEmpty) cur // layout clustering comes from the spec
+      else if (sortBy.nonEmpty)
+        cur.repartitionByRange(target, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else if (cur.rdd.getNumPartitions > target) cur.coalesce(target)
+      else cur
     writeData(out, table, commitId)
-    commitWritten(spark, cur.schema.json, table, statsCols, commitId, keepPrev = false)
+    commitWritten(spark, cur.schema.json, table, statsCols, commitId,
+      keepPrev = false, basedOn = Some(snap))
   }
 
   /** Phase 2 of [[append]]: stat the files written by [[writeData]] and swap
@@ -436,9 +476,14 @@ object IcebergLite {
                     carryFiles: Seq[FileEntry] = Nil,
                     carryDeletes: Seq[DeleteEntry] = Nil,
                     autoStats: Boolean = true,
-                    specOverride: Option[Seq[PartitionField]] = None): Snapshot = {
+                    specOverride: Option[Seq[PartitionField]] = None,
+                    basedOn: Option[Snapshot] = None): Snapshot = {
     val dataDir = Paths.get(table, "data", commitId)
-    val prev = readSnapshot(table)
+    // `basedOn` pins the snapshot an operation PLANNED against (merge's
+    // file pruning, compact's self-read): building the commit from any
+    // fresher snapshot would slip past the optimistic parent check with
+    // stale carries. Unpinned callers (plain appends) read fresh.
+    val prev = basedOn.orElse(readSnapshot(table))
     val phys = prev.map(s => s.physical _).getOrElse(identity[String] _)
     val spec = specOverride.orElse(prev.map(_.spec)).getOrElse(Nil)
     // cell-partitioned tables auto-index each file's FULL cover range
@@ -488,7 +533,11 @@ object IcebergLite {
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), statAggs: _*)
       .collect()
-    val parent = currentSnapshotId(table).getOrElse(-1L)
+    // parent MUST derive from the same `prev` the snapshot content is built
+    // from: a separate CURRENT read here could see a concurrent commit that
+    // `prev` predates, making the optimistic parent check pass on a
+    // snapshot that silently drops that commit's files (lost update)
+    val parent = prev.map(_.id).getOrElse(-1L)
     // partition values are carried by the hive-style path segments the
     // spec-aware write laid down (p_<name>=<value>); a null partition value
     // writes __HIVE_DEFAULT_PARTITION__, recorded as no value → the file is
@@ -522,21 +571,107 @@ object IcebergLite {
     val ledger = prev.map(s =>
       if (s.commitIds.nonEmpty) s.commitIds else historicalCommitIds(table))
       .getOrElse(Set.empty[String]) + commitId
+    // A PURE append (carries the whole previous state, adds only this
+    // commit's files) rebases mechanically onto a concurrently-advanced
+    // table: restamp the new entries' seq, keep everything of the new
+    // current. Replacing commits and file-targeted merges were computed
+    // FROM a specific parent — those conflict loudly instead.
+    val prevSchema = prev.map(_.schemaJson)
+    val pureAppend = keepPrev && carryFiles.isEmpty && carryDeletes.isEmpty
+    val rebase: Snapshot => Option[Snapshot] =
+      if (!pureAppend) null
+      else cur => {
+        val curLedger =
+          if (cur.commitIds.nonEmpty) cur.commitIds else historicalCommitIds(table)
+        if (curLedger.contains(commitId)) None // racing idempotent replay: done
+        else if (cur.spec != spec) throw new CommitConflictException(
+          s"$table partition spec changed while appending $commitId; re-run")
+        else if (cur.schemaJson != prevSchema.getOrElse(schemaJson))
+          throw new CommitConflictException(
+            s"$table schema evolved while appending $commitId; re-run")
+        else Some(Snapshot(cur.id + 1, cur.id, schemaJson,
+          cur.files ++ entries.map(_.copy(seq = cur.id + 1)),
+          cur.renames, cur.deletes, curLedger + commitId, cur.spec))
+      }
     commitSnapshot(table, Snapshot(parent + 1, parent, schemaJson,
       prevFiles ++ carryFiles ++ entries, prev.map(_.renames).getOrElse(Map.empty),
-      prevDeletes ++ carryDeletes, ledger, spec))
+      prevDeletes ++ carryDeletes, ledger, spec), rebase)
   }
 
-  /** Write snapshot-N.json, then atomically swap CURRENT — the commit tail
-    * shared by data commits and metadata-only commits. */
-  private def commitSnapshot(table: String, snap: Snapshot): Snapshot = {
+  /** A commit found the table advanced past the snapshot it was computed
+    * from, and the operation cannot be rebased mechanically (replacing
+    * commits, file-targeted merges, metadata ops). Re-run the operation
+    * against the new current snapshot. */
+  class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Serialize commits to one table via an O_EXCL lock file (the local-FS
+    * stand-in for an Iceberg catalog's atomic pointer CAS). A lock older
+    * than `staleMs` is presumed orphaned by a dead committer and broken —
+    * commits are short (write one JSON + rename), so a live holder never
+    * ages that much. */
+  private def withCommitLock[T](table: String, staleMs: Long = 60000L)(body: => T): T = {
     Files.createDirectories(metaDir(table))
+    val lock = metaDir(table).resolve("COMMIT.lock")
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (age > staleMs) Files.deleteIfExists(lock) else Thread.sleep(5)
+          } catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  /** Unconditional snapshot write + CURRENT swap. Callers must hold the
+    * commit lock and have validated the parent. */
+  private def persistSnapshot(table: String, snap: Snapshot): Snapshot = {
     Files.writeString(metaDir(table).resolve(s"snapshot-${snap.id}.json"), renderSnapshot(snap))
     val tmp = metaDir(table).resolve("CURRENT.tmp")
     Files.writeString(tmp, snap.id.toString)
     Files.move(tmp, metaDir(table).resolve("CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     snap
+  }
+
+  /** Optimistic-concurrency commit tail shared by data commits and
+    * metadata-only commits (Iceberg's commit protocol): under the table's
+    * commit lock, verify the table is still at `snap.parent`. If another
+    * writer advanced it, `rebase` (when the operation is mechanically
+    * rebasable — pure appends) recomputes the snapshot against the new
+    * current (`None` = the commit turns out to be already applied, e.g. a
+    * racing idempotent replay); otherwise the commit fails loudly with
+    * [[CommitConflictException]] and the caller re-runs. */
+  private def commitSnapshot(table: String, snap: Snapshot,
+                             rebase: Snapshot => Option[Snapshot] = null): Snapshot =
+    withCommitLock(table) {
+      val cur = readSnapshot(table)
+      val curId = cur.map(_.id).getOrElse(-1L)
+      if (curId == snap.parent) persistSnapshot(table, snap)
+      else if (rebase != null) rebase(cur.get) match {
+        case Some(s) => persistSnapshot(table, s)
+        case None => cur.get
+      }
+      else throw new CommitConflictException(
+        s"$table advanced to snapshot $curId while committing against ${snap.parent}; re-run")
+    }
+
+  /** Re-run `body` when a concurrent commit invalidated its snapshot read —
+    * the optimistic-retry loop for metadata-only ops, whose whole
+    * read-modify-write is cheap to redo. */
+  private def retryOnConflict[T](attempts: Int = 5)(body: => T): T = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch { case e: CommitConflictException =>
+        left -= 1; if (left == 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /**
@@ -548,7 +683,7 @@ object IcebergLite {
    * an O(1) pointer swap, never a rewrite. Time travel to a pre-evolution
    * snapshot reads the old schema (each snapshot pins its own).
    */
-  def addColumn(table: String, name: String, sqlType: String): Snapshot = {
+  def addColumn(table: String, name: String, sqlType: String): Snapshot = retryOnConflict() {
     import org.apache.spark.sql.types.{DataType, StructType}
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
@@ -584,7 +719,7 @@ object IcebergLite {
     * same files, narrowed schema). Data files keep the bytes; the pinned
     * read schema simply stops projecting them, and time travel to a
     * pre-drop snapshot still sees the column. O(1) at any table size. */
-  def dropColumn(table: String, name: String): Snapshot = {
+  def dropColumn(table: String, name: String): Snapshot = retryOnConflict() {
     import org.apache.spark.sql.types.{DataType, StructType}
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
@@ -607,7 +742,7 @@ object IcebergLite {
     * table size. Appends after the rename write the physical name, so the
     * table's files stay uniform. Time travel to a pre-rename snapshot sees
     * the old name. */
-  def renameColumn(table: String, from: String, to: String): Snapshot = {
+  def renameColumn(table: String, from: String, to: String): Snapshot = retryOnConflict() {
     import org.apache.spark.sql.types.{DataType, StructType}
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
@@ -695,7 +830,8 @@ object IcebergLite {
       commitId, keepPrev = false, carryFiles = carried,
       // carried files were not rewritten, so deletes pending against them
       // must survive the commit; deletes with no carried target are dropped
-      carryDeletes = snap.deletes.filter(d => carried.exists(_.seq < d.seq)))
+      carryDeletes = snap.deletes.filter(d => carried.exists(_.seq < d.seq)),
+      basedOn = Some(snap))
   }
 
   /**
@@ -741,7 +877,8 @@ object IcebergLite {
     val nextId = snap.id + 1
     commitWritten(spark, snap.schemaJson, table, (statsCols ++ keyCols).distinct,
       commitId, keepPrev = true,
-      carryDeletes = Seq(DeleteEntry(delFile, nextId, physKeys)))
+      carryDeletes = Seq(DeleteEntry(delFile, nextId, physKeys)),
+      basedOn = Some(snap))
   }
 
   /** When to fold pending merge-on-read state back into clean data files.
@@ -751,7 +888,8 @@ object IcebergLite {
     * pending delete FILES and BYTES — the two quantities that grow with
     * unmaintained upsert streams. */
   case class MaintenancePolicy(maxPendingDeleteFiles: Int = 8,
-                               maxPendingDeleteBytes: Long = 64L << 20)
+                               maxPendingDeleteBytes: Long = 64L << 20,
+                               sortBy: Seq[String] = Nil)
 
   /** (count, total bytes) of the current snapshot's pending equality-delete
     * files — the read-path debt [[maintain]] bounds. */
@@ -777,7 +915,7 @@ object IcebergLite {
                policy: MaintenancePolicy = MaintenancePolicy()): Option[Snapshot] = {
     val (nDel, bytes) = pendingDeletes(table)
     if (nDel > policy.maxPendingDeleteFiles || bytes > policy.maxPendingDeleteBytes)
-      Some(compact(spark, table, statsCols, commitId))
+      Some(compact(spark, table, statsCols, commitId, sortBy = policy.sortBy))
     else None
   }
 
@@ -881,7 +1019,7 @@ object IcebergLite {
     * renames, pending deletes) under a NEW snapshot id — history is never
     * rewritten, so the rolled-back-over snapshots still time-travel and a
     * second rollback can restore them. O(1) at any table size. */
-  def rollbackTo(table: String, id: Long): Snapshot = {
+  def rollbackTo(table: String, id: Long): Snapshot = retryOnConflict() {
     val target = snapshotAt(table, id).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $id in $table"))
     val curSnap = readSnapshot(table).getOrElse(

@@ -45,8 +45,10 @@ object MorScale {
       IcebergLite.mergeOnRead(spark, t, up, Seq("k"), Seq("k"), s"mor$i")
       if (checkpoints.contains(i)) walls(i) = timedRead()
     }
-    // policy kicks in: pending deletes (maxStack files) >> 8 → compact
-    val maintained = IcebergLite.maintain(spark, t, Seq("k"), "maint")
+    // policy kicks in: pending deletes (maxStack files) >> 8 → sorted
+    // compact (re-clusters on k, restoring the original appends' layout)
+    val maintained = IcebergLite.maintain(spark, t, Seq("k"), "maint",
+      IcebergLite.MaintenancePolicy(sortBy = Seq("k")))
     require(maintained.isDefined, "policy should have triggered")
     require(IcebergLite.readSnapshot(t).get.deletes.isEmpty, "compact must clear deletes")
     val wClean = math.min(timedRead(), timedRead())

@@ -693,6 +693,95 @@ class IcebergLiteSpec extends AnyFunSuite {
       IcebergLite.MaintenancePolicy(maxPendingDeleteFiles = 0)).isEmpty)
   }
 
+  test("sorted compact re-clusters: disjoint file ranges, pruning restored, order-insensitive content") {
+    val t = tmpTable()
+    IcebergLite.append(spark,
+      spark.range(1000).selectExpr("id AS k", "concat('a', id) AS v")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k")),
+      t, Seq("k"), "c1")
+    // stack MoR upserts that touch every base file (strided keys)
+    (1 to 4).foreach { i =>
+      IcebergLite.mergeOnRead(spark,  t,
+        spark.range(10).selectExpr(s"id * 100 + $i AS k", s"'M$i' AS v"),
+        Seq("k"), Seq("k"), s"m$i")
+    }
+    val before = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    IcebergLite.compact(spark, t, Seq("k"), "sorted", sortBy = Seq("k"))
+    val snap = IcebergLite.readSnapshot(t).get
+    assert(snap.deletes.isEmpty)
+    // every compacted file carries k stats and the ranges are disjoint
+    val ranges = snap.files.map(f => (f.min("k").toLong, f.max("k").toLong)).sortBy(_._1)
+    assert(ranges.size > 1, "rewrite should produce multiple files")
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges must be disjoint after sorted compact: $ranges")
+    }
+    // a narrow range read opens only the matching file(s)
+    val q = IcebergLite.readWhere(spark, t,
+      org.apache.spark.sql.functions.col("k").between(10, 20))
+    assert(q.inputFiles.length < snap.files.size,
+      s"pruning must skip files: ${q.inputFiles.length} of ${snap.files.size}")
+    assert(IcebergLite.read(spark, t).as[(Long, String)].collect().toMap == before)
+  }
+
+  test("optimistic concurrency: racing appends all land, none lost") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = tmpTable()
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 8).map { i => Future {
+        IcebergLite.append(spark,
+          spark.range(i * 10, i * 10 + 10).selectExpr("id AS k", "concat('w', id) AS v"),
+          t, Seq("k"), s"writer$i")
+      }}
+      Await.result(Future.sequence(fs), 120.seconds)
+    } finally pool.shutdown()
+    val snap = IcebergLite.readSnapshot(t).get
+    val lineage = IcebergLite.snapshots(t).map(id =>
+      IcebergLite.snapshotAt(t, id).map(s =>
+        s"id=${s.id} parent=${s.parent} cids=${s.commitIds.toSeq.sorted}").getOrElse(s"id=$id ?"))
+    assert(snap.commitIds.filter(_.startsWith("writer")).size == 8,
+      s"all 8 commits in the ledger: ${snap.commitIds}; lineage:\n${lineage.mkString("\n")}")
+    val rows = IcebergLite.read(spark, t).as[(Long, String)].collect()
+    assert(rows.length == 80 && rows.map(_._1).toSet == (0L until 80L).toSet,
+      s"no commit may be lost: ${rows.length} rows")
+    // every file's seq matches a real snapshot lineage (rebase restamped)
+    assert(snap.files.forall(f => f.seq >= 0 && f.seq <= snap.id))
+  }
+
+  test("optimistic concurrency: racing appendIdempotent with one commitId lands once") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = tmpTable()
+    IcebergLite.append(spark, Seq((0L, "base")).toDF("k", "v"), t, Seq("k"), "base")
+    val batch = spark.range(100, 110).selectExpr("id AS k", "'dup' AS v")
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 4).map { _ => Future {
+        IcebergLite.appendIdempotent(spark, batch, t, Seq("k"), "same_commit")
+      }}
+      Await.result(Future.sequence(fs), 120.seconds)
+    } finally pool.shutdown()
+    val rows = IcebergLite.read(spark, t).as[(Long, String)].collect()
+    assert(rows.length == 11, s"the shared commitId must land exactly once: ${rows.length}")
+  }
+
+  test("commit lock: a stale orphaned lock is broken, commits proceed") {
+    val t = tmpTable()
+    IcebergLite.append(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), "c1")
+    val lock = java.nio.file.Paths.get(t, "_graft_meta", "COMMIT.lock")
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
+    IcebergLite.append(spark, Seq((2L, "b")).toDF("k", "v"), t, Seq("k"), "c2")
+    assert(IcebergLite.read(spark, t).count() == 2)
+    assert(!java.nio.file.Files.exists(lock), "winner must release the broken lock")
+  }
+
   test("snapshot JSON roundtrip") {
     val s = IcebergLite.Snapshot(3, 2, """{"type":"struct"}""",
       Seq(IcebergLite.FileEntry("/a/b \"q\".parquet", 10,
