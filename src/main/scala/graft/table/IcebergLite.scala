@@ -420,6 +420,35 @@ object IcebergLite {
   }
 
   /**
+   * Partition-spec EVOLUTION (Iceberg's spec evolution): a METADATA-ONLY
+   * commit that changes how FUTURE commits lay out their files — add
+   * partitioning to a plain table, re-bucket, change granularity, or drop
+   * it (`Nil`). Existing data files keep their old layout and their
+   * recorded per-file partition values; pruning is per-file (a file with no
+   * value for a spec field is conservatively kept), so a mixed-layout table
+   * stays correct through any number of evolutions. The next [[compact]]
+   * rewrites everything into the current spec, unifying the layout. At
+   * 100 TB this is the only sane path: re-partitioning by rewrite is a
+   * full-table job you schedule, not a side effect of changing the spec.
+   */
+  def evolveSpec(table: String, newSpec: Seq[PartitionField]): Snapshot = retryOnConflict() {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    require(newSpec.map(_.name).distinct.size == newSpec.size,
+      s"duplicate partition field names in ${newSpec.map(_.name)}")
+    newSpec.foreach { f =>
+      require(schema.fieldNames.contains(f.source),
+        s"partition source ${f.source} not in schema")
+      require(!schema.fieldNames.contains(partColName(f)),
+        s"column ${partColName(f)} collides with partition field ${f.name}")
+      partitionExpr(f, schema, snap.physical) // validates the transform
+    }
+    commitSnapshot(table, snap.copy(id = snap.id + 1, parent = snap.id, spec = newSpec))
+  }
+
+  /**
    * Compaction (Iceberg's `rewrite_data_files`): read the current snapshot,
    * rewrite it as ONE fresh commit, and swap in a snapshot that references
    * ONLY the compacted files. Old files stay on disk — historical snapshots

@@ -170,4 +170,69 @@ class PartitionSpecSpec extends AnyFunSuite {
   implicit class TupleMapOps(rows: Array[(Long, String, Double)]) {
     def toMap2: Map[Long, (String, Double)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
+
+  test("spec evolution: plain table gains a spec; old files conservatively kept; compact unifies") {
+    val t = tmpTable()
+    // starts UNPARTITIONED
+    IcebergLite.append(spark,
+      (0 until 200).map(i => (i.toLong, s"s${i % 4}", i * 1.0)).toDF("k", "sensor", "v"),
+      t, Seq("k"), "old")
+    assert(IcebergLite.readSnapshot(t).get.spec.isEmpty)
+    // metadata-only evolution: future commits partition by sensor
+    IcebergLite.evolveSpec(t, Seq(PartitionField("sensor", "sensor", "identity")))
+    IcebergLite.append(spark,
+      (200 until 400).map(i => (i.toLong, s"s${i % 4}", i * 1.0)).toDF("k", "sensor", "v"),
+      t, Seq("k"), "new")
+    val snap = IcebergLite.readSnapshot(t).get
+    val (withVal, without) = snap.files.partition(_.partition.contains("sensor"))
+    assert(withVal.nonEmpty && without.nonEmpty, "mixed layout expected")
+    assert(withVal.forall(_.path.contains("/data/new/")))
+    // pruning: every post-evolution file of other sensors is skipped; every
+    // pre-evolution file is conservatively kept — and the result is right
+    val q = IcebergLite.readWhere(spark, t, $"sensor" === "s2")
+    val qFiles = q.inputFiles.toSeq
+    assert(qFiles.exists(_.contains("/data/old/")), "legacy files must stay in")
+    assert(!qFiles.exists(f => f.contains("p_sensor=") && !f.contains("p_sensor=s2")))
+    assert(q.count() == 100)
+    // compact rewrites EVERYTHING into the current spec: layout unified
+    IcebergLite.compact(spark, t, Seq("k"), "unify")
+    val snap2 = IcebergLite.readSnapshot(t).get
+    assert(snap2.files.forall(_.partition.contains("sensor")), "unified layout")
+    val q2 = IcebergLite.readWhere(spark, t, $"sensor" === "s2")
+    assert(q2.inputFiles.nonEmpty && q2.inputFiles.forall(_.contains("p_sensor=s2")))
+    assert(q2.count() == 100 && IcebergLite.read(spark, t).count() == 400)
+  }
+
+  test("spec evolution: drop the spec, change granularity, validation errors") {
+    val t = tmpTable()
+    IcebergLite.createPartitioned(spark,
+      (0 until 100).map(i => (i.toLong, s"s${i % 2}", i * 1.0)).toDF("k", "sensor", "v"),
+      t, Seq(PartitionField("sensor", "sensor", "identity")), Seq("k"), "c1")
+    // re-bucket on k instead (different field entirely)
+    IcebergLite.evolveSpec(t, Seq(PartitionField("kb", "k", "bucket[4]")))
+    IcebergLite.append(spark,
+      (100 until 200).map(i => (i.toLong, s"s${i % 2}", i * 1.0)).toDF("k", "sensor", "v"),
+      t, Seq("k"), "c2")
+    val snap = IcebergLite.readSnapshot(t).get
+    assert(snap.files.filter(_.path.contains("/data/c2/")).forall(_.partition.contains("kb")))
+    assert(snap.files.filter(_.path.contains("/data/c1/")).forall(f =>
+      f.partition.contains("sensor") && !f.partition.contains("kb")))
+    assert(IcebergLite.read(spark, t).count() == 200)
+    // drop partitioning entirely: future appends are plain
+    IcebergLite.evolveSpec(t, Nil)
+    IcebergLite.append(spark,
+      (200 until 250).map(i => (i.toLong, s"s${i % 2}", i * 1.0)).toDF("k", "sensor", "v"),
+      t, Seq("k"), "c3")
+    assert(IcebergLite.read(spark, t).count() == 250)
+    // validation: unknown source, colliding layout column, bad transform
+    intercept[IllegalArgumentException] {
+      IcebergLite.evolveSpec(t, Seq(PartitionField("x", "nope", "identity")))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergLite.evolveSpec(t, Seq(PartitionField("x", "k", "wat[3]")))
+    }
+    // time travel still sees each era's layout metadata-consistently
+    val ids = IcebergLite.snapshots(t)
+    assert(IcebergLite.snapshotAt(t, ids.head).get.spec.head.name == "sensor")
+  }
 }
