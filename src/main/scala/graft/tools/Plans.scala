@@ -165,6 +165,31 @@ object Plans {
         "pass over the raw events",
       capture(graft.SparkEntry.queries("str_sessions")(spark, sfDir))))
 
+    // hidden-partitioned AOI read: the scan's file list is pre-pruned to
+    // the AOI's partitions by METADATA (partition values + cover-range
+    // stats) — the plan is a plain parquet scan over only those files
+    val partTbl = java.nio.file.Files.createTempDirectory("graft_plans_part").resolve("t").toString
+    graft.table.IcebergLite.createPartitioned(spark,
+      graft.model.SynthCorpus.docs(spark, 5000).select(col("doc_id"), col("wkt")),
+      partTbl, Seq(graft.table.IcebergLite.PartitionField("cell", "wkt", "cell[3]")),
+      Seq("doc_id"), "c1")
+    sections += (("hidden-partitioned AOI read (tbl_part's readAoi)",
+      "partition pruning happens in the MANIFEST layer before the plan " +
+        "exists: the scan node lists only files whose cell-partition / " +
+        "cover-range intersects the AOI; the residual st_intersects is the " +
+        "only per-row work — at 100 TB the read cost tracks the AOI, not " +
+        "the table",
+      capture(graft.table.IcebergLite.readAoi(spark, partTbl,
+        "POLYGON((0 0, 12 0, 12 10, 0 10, 0 0))"))))
+
+    // TTL lease tracker: one keyed exchange into mapGroupsWithState,
+    // per-item replay is a handful of counters
+    sections += (("TTL lease tracker (str_requeue)",
+      "one hash exchange on itemId into MapGroupsWithState — the whole " +
+        "rediswq lease lifecycle is per-key state, never a window or a " +
+        "self-join over the event log",
+      capture(graft.SparkEntry.queries("str_requeue")(spark, sfDir))))
+
     val md = new StringBuilder
     md.append("# PLANS — physical-plan audit (generated by graft.tools.Plans)\n\n")
     sections.foreach { case (title, why, plan) =>
