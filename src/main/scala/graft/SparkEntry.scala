@@ -130,6 +130,7 @@ object SparkEntry {
     // MoR delete-debt auto-maintenance: policy-triggered compaction in the
     // read path of the query itself
     "tbl_maintain" -> ((s, d) => Relational.tblMaintain(s, d)),
+    "tbl_orphans" -> ((s, d) => Relational.tblOrphans(s, d)),
     "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
@@ -724,6 +725,15 @@ object SparkEntry {
         |    ELSE cast(floor(o_totalprice * 100) AS bigint)
         |  END AS price_c
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    // base %9 slice with one MoR upsert (%18 keys bumped); crash residue is
+    // injected and swept before the read — content must survive the sweep
+    "tbl_orphans" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 18 = 0
+        |       THEN (cast(floor(o_totalprice) AS bigint) + 5) * 100
+        |       ELSE cast(floor(o_totalprice * 100) AS bigint)
+        |  END AS price_c
+        |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin,
     // time travel to the second commit: slices %11 = 0, 1 (commit 3 invisible)
     "tbl_travel" ->
       """SELECT o_orderkey, o_custkey,
@@ -1709,6 +1719,50 @@ object Relational {
     }
     IcebergLite.maintain(s, table, Seq("o_orderkey"), "maint",
       IcebergLite.MaintenancePolicy(maxPendingDeleteFiles = 2))
+    IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** Orphan-file cleanup as a driver-oracled query (Iceberg's
+    * `remove_orphan_files`): crash residue — an aborted append's data dir
+    * and an aborted upsert's delete dir, re-injected every run — is swept
+    * by [[graft.table.IcebergLite.removeOrphanFiles]] while a LIVE
+    * merge-on-read delete file sits in the same `deletes/` tree. The
+    * returned read goes through the swept table, so a sweep that reaps a
+    * referenced file (or misses the residue — the `require`s) breaks the
+    * relational oracle. */
+  def tblOrphans(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    import java.nio.file.{Files, Paths}
+    val prefix = "graft_tbl_orph_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    val orders = t(s, d, "orders")
+    if (IcebergLite.currentSnapshotId(table).isEmpty) {
+      IcebergLite.append(s, orders.where(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        table, Seq("o_orderkey"), "base")
+      // live MoR state: its delete file shares deletes/ with the residue
+      // below and must survive the sweep for the oracle to match
+      IcebergLite.mergeOnRead(s, table, orders.where(col("o_orderkey") % 18 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (floor(col("o_totalprice")) + 5).cast("double").as("o_totalprice")),
+        Seq("o_orderkey"), Seq("o_orderkey"), "up1")
+    }
+    val orphData = Paths.get(table, "data", "crash_append")
+    val orphDel = Paths.get(table, "deletes", "crash_upsert")
+    if (!Files.exists(orphData)) // aborted append: files written, no snapshot swap
+      IcebergLite.writeData(orders.limit(10).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice")), table, "crash_append")
+    if (!Files.exists(orphDel)) // aborted upsert's key file
+      orders.limit(5).select(col("o_orderkey")).coalesce(1)
+        .write.mode("overwrite").parquet(orphDel.toString)
+    val (nDeleted, _) = IcebergLite.removeOrphanFiles(table, olderThanMillis = 0)
+    require(nDeleted > 0, "orphan sweep found nothing — injection or sweep broken")
+    require(!Files.exists(orphData) && !Files.exists(orphDel),
+      "orphan residue survived the sweep")
     IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
       floor(col("o_totalprice") * 100).as("price_c"))
   }

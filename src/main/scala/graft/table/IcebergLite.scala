@@ -1043,6 +1043,68 @@ object IcebergLite {
     (expired, deleted)
   }
 
+  /**
+   * Orphan-file cleanup (Iceberg's `remove_orphan_files`) — the third leg
+   * of the maintenance triad next to [[compact]] and [[expireSnapshots]].
+   * The commit protocol writes data/delete files FIRST and swaps the
+   * snapshot pointer LAST, so a crash between the two (or an optimistic-
+   * concurrency retry that re-wrote under a new layout) strands files no
+   * snapshot references — invisible to [[expireSnapshots]], which only
+   * reaps files the EXPIRED snapshots referenced. This walks `data/` and
+   * `deletes/`, deletes every file absent from ALL retained snapshots'
+   * manifests, and prunes directories left empty.
+   *
+   * `olderThanMillis` is the concurrent-writer guard (Iceberg defaults to
+   * 3 days): a writer that has written its files but not yet committed its
+   * snapshot looks exactly like crash residue, so only files whose mtime is
+   * older than `now - olderThanMillis` are eligible. Pass 0 only when no
+   * other writer can be in flight (tests, single-writer maintenance
+   * windows). Write residue (`_SUCCESS`, `.crc`) is kept wherever the
+   * directory still holds referenced parquet and reaped with the directory
+   * otherwise. Idempotent: a re-run finds nothing. Returns
+   * (files deleted, bytes reclaimed).
+   */
+  def removeOrphanFiles(table: String,
+                        olderThanMillis: Long = 3L * 24 * 3600 * 1000,
+                        nowMillis: Long = System.currentTimeMillis): (Int, Long) = {
+    val referenced = snapshots(table).flatMap(snapshotAt(table, _)).flatMap(s =>
+      s.files.map(_.path) ++ s.deletes.map(_.path))
+      .map(p => Paths.get(p.stripPrefix("file:")).toAbsolutePath.normalize).toSet
+    val cutoff = nowMillis - olderThanMillis
+    var deleted = 0
+    var bytes = 0L
+    Seq("data", "deletes").map(Paths.get(table, _)).filter(Files.exists(_)).foreach { root =>
+      val st = Files.walk(root)
+      val all = try st.iterator().asScala.toVector finally st.close()
+      val (dirs, files) = all.partition(Files.isDirectory(_))
+      val survivors = scala.collection.mutable.Set.empty[Path] // dirs still holding data
+      files.foreach { f =>
+        val abs = f.toAbsolutePath.normalize
+        val isData = abs.toString.endsWith(".parquet")
+        val orphan = isData && !referenced.contains(abs) &&
+          Files.getLastModifiedTime(f).toMillis < cutoff
+        if (orphan) {
+          bytes += Files.size(f); Files.delete(f); deleted += 1
+        } else if (isData) survivors += abs.getParent
+      }
+      // residue and empty dirs: deepest-first, keep any dir (or ancestor of
+      // one) that still holds referenced data
+      def keeps(d: Path): Boolean = survivors.exists(_.startsWith(d.toAbsolutePath.normalize))
+      dirs.sortBy(-_.getNameCount).filterNot(_ == root).foreach { d =>
+        if (Files.exists(d) && !keeps(d)) {
+          val ls = Files.list(d)
+          val residueOnly = try ls.iterator().asScala.forall { c =>
+            val n = c.getFileName.toString
+            !Files.isDirectory(c) && (n == "_SUCCESS" || n.endsWith(".crc")) &&
+              Files.getLastModifiedTime(c).toMillis < cutoff
+          } finally ls.close()
+          if (residueOnly) graft.Fs.deleteRecursively(d)
+        }
+      }
+    }
+    (deleted, bytes)
+  }
+
   /** Rollback (Iceberg's `rollback_to_snapshot`): a METADATA-ONLY commit
     * that restores the table to snapshot `id`'s exact state (files, schema,
     * renames, pending deletes) under a NEW snapshot id — history is never

@@ -543,6 +543,34 @@ class IcebergLiteSpec extends AnyFunSuite {
       java.nio.file.Files.exists(java.nio.file.Paths.get(f.path.stripPrefix("file:")))))
   }
 
+  test("removeOrphanFiles: crash residue reaped, referenced files kept, writer guard") {
+    import java.nio.file.{Files => F, Paths => P}
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 20L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    IcebergLite.mergeOnRead(spark, t, Seq((5L, "M5")).toDF("k", "v"), Seq("k"), Seq("k"), "m1")
+    // crash residue: data written, snapshot swap never happened — an aborted
+    // append and an aborted MoR upsert (its delete file included)
+    IcebergLite.writeData(Seq((900L, "zz")).toDF("k", "v"), t, "aborted1")
+    val abortedDel = P.get(t, "deletes", "aborted2")
+    Seq(Tuple1(5L)).toDF("k").coalesce(1).write.parquet(abortedDel.toString)
+    assert(F.exists(P.get(t, "data", "aborted1")) && F.exists(abortedDel))
+
+    // default 3-day guard: fresh files look like an in-flight writer — kept
+    assert(IcebergLite.removeOrphanFiles(t) == ((0, 0L)))
+    assert(F.exists(P.get(t, "data", "aborted1")))
+    // olderThan 0 (single-writer window): the residue goes, dirs pruned
+    val (n, bytes) = IcebergLite.removeOrphanFiles(t, olderThanMillis = 0)
+    assert(n > 0 && bytes > 0)
+    assert(!F.exists(P.get(t, "data", "aborted1")) && !F.exists(abortedDel))
+    // every referenced file (data AND the live MoR delete) survives; the
+    // table and its full history read exactly as before
+    val got = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got.size == 20 && got(5L) == "M5" && got(7L) == "a7")
+    assert(IcebergLite.readAt(spark, t, 0).count() == 20)
+    // idempotent: a re-run finds nothing
+    assert(IcebergLite.removeOrphanFiles(t, olderThanMillis = 0) == ((0, 0L)))
+  }
+
   test("rollbackTo: metadata-only restore; rolled-over history still travels") {
     val t = tmpTable()
     IcebergLite.append(spark, (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
