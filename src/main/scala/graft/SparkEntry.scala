@@ -119,6 +119,7 @@ object SparkEntry {
     // table plane (§4.2/S12): IcebergLite CoW MERGE upsert, committed
     // table read back — exactly the anti-join ∪ updates the oracle states
     "tbl_part" -> ((s, d) => GeoQueries.tblPart(s, d)),
+    "tbl_zorder" -> ((s, d) => GeoQueries.tblZorder(s, d)),
     "tbl_merge" -> ((s, d) => Relational.tblMerge(s, d)),
     "tbl_mor" -> ((s, d) => Relational.tblMor(s, d)),
     "tbl_incr" -> ((s, d) => Relational.tblIncr(s, d)),
@@ -635,6 +636,14 @@ object SparkEntry {
          |WHERE xmin <= $axmax AND xmax >= $axmin
          |  AND ymin <= $aymax AND ymax >= $aymin""".stripMargin
     },
+    // same rectangle arithmetic over the z-ordered (unpartitioned) layout
+    "tbl_zorder" -> {
+      val (axmin, aymin, axmax, aymax) = GeoQueries.TblZorderAoi
+      s"""WITH scenes AS (${SynthCorpus.scenesSql})
+         |SELECT doc_id, xmin, ymin FROM scenes
+         |WHERE xmin <= $axmax AND xmax >= $axmin
+         |  AND ymin <= $aymax AND ymax >= $aymin""".stripMargin
+    },
     "tbl_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice
         |              FROM orders WHERE o_orderkey % 7 = 0),
@@ -833,6 +842,44 @@ object GeoQueries {
     val (axmin, aymin, axmax, aymax) = TblPartAoi
     IcebergLite.readAoi(s, table, graft.geom.Geo.rectWkt(axmin, aymin, axmax, aymax))
       .select(col("doc_id"), col("xmin"), col("ymin"))
+  }
+
+  /** AOI used by [[tblZorder]] and its oracle. */
+  val TblZorderAoi: (Double, Double, Double, Double) = (30.0, -10.0, 70.0, 20.0)
+
+  /** Z-order clustering as a driver-oracled query: the scene corpus lands
+    * UNpartitioned (hash-shuffled — nothing prunes), then one
+    * `compact(zorderBy = xmin, ymin)` rewrite makes every file's manifest
+    * min/max tight on BOTH axes, and the AOI read prunes multiplicatively
+    * through [[graft.table.IcebergLite.readWhere]] with no partition dirs at
+    * all — the layout-only complement of [[tblPart]]'s hidden partitioning.
+    * The in-query `require` pins the pruning (≈2% AOI must open well under
+    * half the files); the oracle pins exactness. */
+  def tblZorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_zord_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(dir, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    if (IcebergLite.currentSnapshotId(table).isEmpty) {
+      IcebergLite.append(s, scenesFromOrders(s, dir)
+        .select(col("doc_id"), col("xmin"), col("ymin"), col("xmax"), col("ymax")),
+        table, Seq("xmin", "ymin", "xmax", "ymax"), "c1")
+      val bytes = IcebergLite.readSnapshot(table).get.files.map { f =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(f.path.stripPrefix("file:")))
+      }.sum
+      IcebergLite.compact(s, table, Seq("xmin", "ymin", "xmax", "ymax"), "z1",
+        targetFileBytes = bytes / 48 + 1, zorderBy = Seq("xmin", "ymin"))
+    }
+    val (axmin, aymin, axmax, aymax) = TblZorderAoi
+    val df = IcebergLite.readWhere(s, table,
+      col("xmin") <= axmax && col("xmax") >= axmin &&
+        col("ymin") <= aymax && col("ymax") >= aymin)
+    val total = IcebergLite.readSnapshot(table).get.files.size
+    require(df.inputFiles.length < total / 2,
+      s"z-order pruning regressed: opened ${df.inputFiles.length} of $total files")
+    df.select(col("doc_id"), col("xmin"), col("ymin"))
   }
 
   /** J2 gridded-name path: scene names carrying the tile key in the three

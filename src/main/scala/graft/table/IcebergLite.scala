@@ -459,7 +459,9 @@ object IcebergLite {
    */
   def compact(spark: SparkSession, table: String, statsCols: Seq[String],
               commitId: String, targetFileBytes: Long = 128L << 20,
-              sortBy: Seq[String] = Nil): Snapshot = {
+              sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Snapshot = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are alternative clustering strategies; pick one")
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val cur = read(spark, table) // snapshot-pinned file list: safe self-read
@@ -483,6 +485,22 @@ object IcebergLite {
     // Range-partition + sortWithinPartitions on `sortBy` restores both.
     val out =
       if (snap.spec.nonEmpty) cur // layout clustering comes from the spec
+      else if (zorderBy.nonEmpty) {
+        // Z-order rewrite (Iceberg's z-order strategy): global bounds in one
+        // pass, then range-partition + sort on the interleaved key — every
+        // zorderBy column gets ~multiplicatively tight per-file min/max, so
+        // conjunctive range reads (AOI scans) prune on ALL of them at once.
+        val aggs = zorderBy.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"lo_$c"),
+          max(col(c)).cast("double").as(s"hi_$c")))
+        val b = cur.agg(aggs.head, aggs.tail: _*).collect()(0)
+        // all-null/empty bounds degrade to a constant dimension (no NPE)
+        def d(n: String): Double =
+          Option(b.getAs[java.lang.Double](n)).fold(Double.NaN)(_.doubleValue)
+        val z = ZOrder.zvalue(zorderBy.map(c =>
+          col(c) -> (d(s"lo_$c"), d(s"hi_$c"))))
+        cur.repartitionByRange(target, z).sortWithinPartitions(z)
+      }
       else if (sortBy.nonEmpty)
         cur.repartitionByRange(target, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)

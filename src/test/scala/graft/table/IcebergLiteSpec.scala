@@ -543,6 +543,67 @@ class IcebergLiteSpec extends AnyFunSuite {
       java.nio.file.Files.exists(java.nio.file.Paths.get(f.path.stripPrefix("file:")))))
   }
 
+  test("zvalue: Spark column matches the reference interleave") {
+    val lo = 0.0; val hi = 3.0
+    val maxQ = (1L << ZOrder.Bits) - 1
+    def q(v: Double): Long = // the exact double arithmetic quantize() runs
+      math.min(maxQ, math.max(0L, math.floor((v - lo) / (hi - lo) * maxQ).toLong))
+    val pts = for { x <- 0 to 3; y <- 0 to 3 } yield (x.toDouble, y.toDouble)
+    val got = pts.toDF("x", "y")
+      .select(ZOrder.zvalue(Seq($"x" -> (lo, hi), $"y" -> (lo, hi))).as("z"))
+      .as[Long].collect()
+    val want = pts.map { case (x, y) => ZOrder.zvalueRef(Seq(q(x), q(y))) }
+    assert(got.toSeq == want)
+    // 3-dim variant round-trips through spread3
+    val got3 = Seq((1.0, 2.0, 3.0)).toDF("x", "y", "w")
+      .select(ZOrder.zvalue(Seq($"x" -> (lo, hi), $"y" -> (lo, hi), $"w" -> (lo, hi))).as("z"))
+      .as[Long].head()
+    assert(got3 == ZOrder.zvalueRef(Seq(q(1.0), q(2.0), q(3.0))))
+  }
+
+  test("compact zorderBy: conjunctive-range reads prune multiplicatively; content identical") {
+    // 128×128 lattice appended hash-shuffled: every pre-compact file spans
+    // the whole domain, so NOTHING prunes before the rewrite
+    val rows = for { x <- 0 until 128; y <- 0 until 128 }
+      yield (x * 128L + y, x.toDouble, y.toDouble)
+    val pred = $"x" >= 32.0 && $"x" <= 47.0 && $"y" >= 32.0 && $"y" <= 47.0
+
+    def stage(t: String): Set[(Long, Double, Double)] = {
+      IcebergLite.append(spark, rows.toDF("id", "x", "y").repartition(8, $"id"),
+        t, Seq("x", "y"), "c1")
+      IcebergLite.read(spark, t).as[(Long, Double, Double)].collect().toSet
+    }
+    def fileBytes(t: String): Long = IcebergLite.readSnapshot(t).get.files.map { f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(f.path.stripPrefix("file:")))
+    }.sum
+
+    val tz = tmpTable(); val before = stage(tz)
+    // ~64 files → each ≈ a 16×16 morton block; the AOI is one such block
+    IcebergLite.compact(spark, tz, Seq("x", "y"), "z1",
+      targetFileBytes = fileBytes(tz) / 64 + 1, zorderBy = Seq("x", "y"))
+    val zTotal = IcebergLite.readSnapshot(tz).get.files.size
+    assert(zTotal >= 32, s"want many files for a meaningful prune, got $zTotal")
+    assert(IcebergLite.read(spark, tz).as[(Long, Double, Double)].collect().toSet == before)
+    val zq = IcebergLite.readWhere(spark, tz, pred)
+    assert(zq.count() == 256)
+    val zFiles = zq.inputFiles.length
+
+    val tl = tmpTable(); stage(tl) // same data, LINEAR (x, y) sort
+    IcebergLite.compact(spark, tl, Seq("x", "y"), "l1",
+      targetFileBytes = fileBytes(tl) / 64 + 1, sortBy = Seq("x", "y"))
+    val lq = IcebergLite.readWhere(spark, tl, pred)
+    assert(lq.count() == 256)
+    val lFiles = lq.inputFiles.length
+
+    // linear: x prunes to ~1/8 of files, y prunes nothing (each x-stripe
+    // spans all y). z-order: BOTH prune — the AOI is ~area/total of files
+    assert(zFiles < lFiles, s"z-order opened $zFiles, linear $lFiles")
+    assert(zFiles <= zTotal / 8, s"z-order opened $zFiles of $zTotal")
+    // strategies are mutually exclusive
+    assertThrows[IllegalArgumentException](IcebergLite.compact(spark, tz,
+      Seq("x"), "bad", sortBy = Seq("x"), zorderBy = Seq("x", "y")))
+  }
+
   test("removeOrphanFiles: crash residue reaped, referenced files kept, writer guard") {
     import java.nio.file.{Files => F, Paths => P}
     val t = tmpTable()
