@@ -132,6 +132,7 @@ object SparkEntry {
     // read path of the query itself
     "tbl_maintain" -> ((s, d) => Relational.tblMaintain(s, d)),
     "tbl_orphans" -> ((s, d) => Relational.tblOrphans(s, d)),
+    "tbl_bloom" -> ((s, d) => Relational.tblBloom(s, d)),
     "q18_timestamps" -> ((s, d) => Relational.q18(s, d)),
     "q19_priority" -> ((s, d) => Relational.q19(s, d)),
     "q20_sources" -> ((s, d) => Relational.q20(s, d)),
@@ -734,6 +735,12 @@ object SparkEntry {
         |    ELSE cast(floor(o_totalprice * 100) AS bigint)
         |  END AS price_c
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    // bloom point-lookup: the IN-list itself (absent keys return nothing)
+    "tbl_bloom" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+         |FROM orders
+         |WHERE o_orderkey IN (${Relational.TblBloomKeys.mkString(", ")})""".stripMargin,
     // base %9 slice with one MoR upsert (%18 keys bumped); crash residue is
     // injected and swept before the read — content must survive the sweep
     "tbl_orphans" ->
@@ -1811,6 +1818,38 @@ object Relational {
     require(!Files.exists(orphData) && !Files.exists(orphDel),
       "orphan residue survived the sweep")
     IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** The IN-list keys [[tblBloom]] and its oracle share. */
+  val TblBloomKeys: Seq[Long] = Seq(1L, 7L, 32L, 1000L, 4999L, 77777L)
+
+  /** Per-file Bloom sidecars as a driver-oracled query: orders land
+    * HASH-distributed across 32 files (every file spans ~the whole key
+    * range — manifest min/max is provably useless for a point lookup) with
+    * `bloomCols = o_orderkey`, then an IN-list read goes through
+    * [[graft.table.IcebergLite.readWhere]]'s membership probe. The
+    * in-query `require` pins the pruning (≤ one file per key plus false
+    * positives, never half the table); the oracle pins exactness —
+    * including keys that don't exist, which a broken filter would
+    * resurrect or a false-negative would drop. */
+  def tblBloom(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_bloom_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    if (IcebergLite.currentSnapshotId(table).isEmpty)
+      IcebergLite.append(s, t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(32, col("o_custkey")),
+        table, Seq("o_custkey"), "c1", bloomCols = Seq("o_orderkey"))
+    val df = IcebergLite.readWhere(s, table, col("o_orderkey").isin(TblBloomKeys: _*))
+    val total = IcebergLite.readSnapshot(table).get.files.size
+    require(df.inputFiles.length < total / 2,
+      s"bloom pruning regressed: opened ${df.inputFiles.length} of $total files")
+    df.select(col("o_orderkey"), col("o_custkey"),
       floor(col("o_totalprice") * 100).as("price_c"))
   }
 

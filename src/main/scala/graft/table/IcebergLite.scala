@@ -37,10 +37,14 @@ object IcebergLite {
   /** `seq` = id of the snapshot whose commit added the file — equality
     * deletes ([[mergeOnRead]]) apply only to files with a LOWER seq, the
     * sequence-number scoping real Iceberg v2 uses. Old manifests parse with
-    * seq 0 (every delete applies — the conservative reading). */
+    * seq 0 (every delete applies — the conservative reading).
+    * `bloom` maps column name → path of a per-file [[Bloom]] sidecar
+    * (written by commits with `bloomCols`); point-lookup reads probe it
+    * AFTER min/max, files without one are conservatively kept. */
   case class FileEntry(path: String, rows: Long, min: Map[String, String],
                        max: Map[String, String], seq: Long = 0L,
-                       partition: Map[String, String] = Map.empty)
+                       partition: Map[String, String] = Map.empty,
+                       bloom: Map[String, String] = Map.empty)
 
   /** An equality-delete file: parquet of key tuples (PHYSICAL column names
     * `keys`) at `path`, committed at snapshot `seq`. A data row is deleted
@@ -270,9 +274,11 @@ object IcebergLite {
    * reference gets from SAC_DONE re-scans (SURVEY §2.10).
    */
   def append(spark: SparkSession, df: DataFrame, table: String,
-             statsCols: Seq[String], commitId: String): Snapshot = {
+             statsCols: Seq[String], commitId: String,
+             bloomCols: Seq[String] = Nil): Snapshot = {
     writeData(df, table, commitId)
-    commitWritten(spark, df.schema.json, table, statsCols, commitId)
+    commitWritten(spark, df.schema.json, table, statsCols, commitId,
+      bloomCols = bloomCols)
   }
 
   /** [[append]] with merge-style crash-retry idempotence: if ANY snapshot
@@ -459,7 +465,8 @@ object IcebergLite {
    */
   def compact(spark: SparkSession, table: String, statsCols: Seq[String],
               commitId: String, targetFileBytes: Long = 128L << 20,
-              sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Snapshot = {
+              sortBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): Snapshot = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are alternative clustering strategies; pick one")
     val snap = readSnapshot(table).getOrElse(
@@ -508,7 +515,7 @@ object IcebergLite {
       else cur
     writeData(out, table, commitId)
     commitWritten(spark, cur.schema.json, table, statsCols, commitId,
-      keepPrev = false, basedOn = Some(snap))
+      keepPrev = false, basedOn = Some(snap), bloomCols = bloomCols)
   }
 
   /** Phase 2 of [[append]]: stat the files written by [[writeData]] and swap
@@ -524,7 +531,8 @@ object IcebergLite {
                     carryDeletes: Seq[DeleteEntry] = Nil,
                     autoStats: Boolean = true,
                     specOverride: Option[Seq[PartitionField]] = None,
-                    basedOn: Option[Snapshot] = None): Snapshot = {
+                    basedOn: Option[Snapshot] = None,
+                    bloomCols: Seq[String] = Nil): Snapshot = {
     val dataDir = Paths.get(table, "data", commitId)
     // `basedOn` pins the snapshot an operation PLANNED against (merge's
     // file pruning, compact's self-read): building the commit from any
@@ -599,11 +607,36 @@ object IcebergLite {
             n.stripPrefix("p_") -> v
         }.toMap
       }
+    // per-file Bloom sidecars (see [[Bloom]]): one extra pass hashing each
+    // bloom column with codegen'd xxhash64, one OR-merged bit array per
+    // (file × column), written as small binaries under blooms/<commitId>/ —
+    // the snapshot JSON carries only their paths
+    val blooms: Map[(String, String), String] =
+      if (bloomCols.isEmpty || stats.isEmpty) Map.empty
+      else {
+        val mBits = Bloom.sizeBits(stats.map(_.getAs[Long]("rows")).max)
+        val agg = udaf(new Bloom.Agg(mBits))
+        val bAggs = bloomCols.map(c => agg(xxhash64(col(phys(c)))).as(s"bloom_$c"))
+        val bDir = Paths.get(table, "blooms", commitId)
+        Files.createDirectories(bDir)
+        spark.read.schema(physSchema).parquet(dataDir.toString)
+          .groupBy(input_file_name().as("path"))
+          .agg(bAggs.head, bAggs.tail: _*)
+          .collect().zipWithIndex.flatMap { case (r, i) =>
+            bloomCols.map { c =>
+              val p = bDir.resolve(s"f${i}_$c.bloom")
+              Files.write(p, r.getAs[Array[Byte]](s"bloom_$c"))
+              (r.getAs[String]("path"), c) -> p.toString
+            }
+          }.toMap
+      }
     val entries = stats.map { r =>
-      FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
+      val path = r.getAs[String]("path")
+      FileEntry(path, r.getAs[Long]("rows"),
         statNames.map(c => c -> String.valueOf(r.getAs[Any](s"min_$c"))).toMap,
         statNames.map(c => c -> String.valueOf(r.getAs[Any](s"max_$c"))).toMap,
-        seq = parent + 1, partition = partOf(r.getAs[String]("path")))
+        seq = parent + 1, partition = partOf(path),
+        bloom = bloomCols.flatMap(c => blooms.get((path, c)).map(c -> _)).toMap)
     }.toSeq.sortBy(_.path)
 
     // keepPrev carries the whole previous state (append); a replacing commit
@@ -1036,12 +1069,12 @@ object IcebergLite {
     val kept = all.filterNot(expired.contains)
     if (expired.isEmpty) return (Nil, 0)
     val keptSnaps = kept.flatMap(snapshotAt(table, _))
-    val referenced = keptSnaps.flatMap(s =>
-      s.files.map(_.path) ++ s.deletes.map(_.path)).toSet
+    def paths(s: Snapshot): Seq[String] =
+      s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.files.flatMap(_.bloom.values)
+    val referenced = keptSnaps.flatMap(paths).toSet
     // normalize: manifest paths may carry a file: scheme prefix
     def toFsPath(p: String) = Paths.get(p.stripPrefix("file:"))
-    val candidates = expired.flatMap(snapshotAt(table, _)).flatMap(s =>
-      s.files.map(_.path) ++ s.deletes.map(_.path)).distinct
+    val candidates = expired.flatMap(snapshotAt(table, _)).flatMap(paths).distinct
       .filterNot(referenced.contains)
     var deleted = 0
     candidates.foreach { p =>
@@ -1068,9 +1101,9 @@ object IcebergLite {
    * snapshot pointer LAST, so a crash between the two (or an optimistic-
    * concurrency retry that re-wrote under a new layout) strands files no
    * snapshot references — invisible to [[expireSnapshots]], which only
-   * reaps files the EXPIRED snapshots referenced. This walks `data/` and
-   * `deletes/`, deletes every file absent from ALL retained snapshots'
-   * manifests, and prunes directories left empty.
+   * reaps files the EXPIRED snapshots referenced. This walks `data/`,
+   * `deletes/`, and `blooms/`, deletes every file absent from ALL retained
+   * snapshots' manifests, and prunes directories left empty.
    *
    * `olderThanMillis` is the concurrent-writer guard (Iceberg defaults to
    * 3 days): a writer that has written its files but not yet committed its
@@ -1086,19 +1119,19 @@ object IcebergLite {
                         olderThanMillis: Long = 3L * 24 * 3600 * 1000,
                         nowMillis: Long = System.currentTimeMillis): (Int, Long) = {
     val referenced = snapshots(table).flatMap(snapshotAt(table, _)).flatMap(s =>
-      s.files.map(_.path) ++ s.deletes.map(_.path))
+      s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.files.flatMap(_.bloom.values))
       .map(p => Paths.get(p.stripPrefix("file:")).toAbsolutePath.normalize).toSet
     val cutoff = nowMillis - olderThanMillis
     var deleted = 0
     var bytes = 0L
-    Seq("data", "deletes").map(Paths.get(table, _)).filter(Files.exists(_)).foreach { root =>
+    Seq("data", "deletes", "blooms").map(Paths.get(table, _)).filter(Files.exists(_)).foreach { root =>
       val st = Files.walk(root)
       val all = try st.iterator().asScala.toVector finally st.close()
       val (dirs, files) = all.partition(Files.isDirectory(_))
       val survivors = scala.collection.mutable.Set.empty[Path] // dirs still holding data
       files.foreach { f =>
         val abs = f.toAbsolutePath.normalize
-        val isData = abs.toString.endsWith(".parquet")
+        val isData = abs.toString.endsWith(".parquet") || abs.toString.endsWith(".bloom")
         val orphan = isData && !referenced.contains(abs) &&
           Files.getLastModifiedTime(f).toMillis < cutoff
         if (orphan) {
@@ -1219,9 +1252,52 @@ object IcebergLite {
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val b = extractBounds(spark, snap, predicate)
-    readFiles(spark, snap,
-      surviving(snap, b.num, Map.empty, b.inNum, b.inStr, b.str,
-        partitionPrune(snap, b))).where(predicate)
+    val files = surviving(snap, b.num, Map.empty, b.inNum, b.inStr, b.str,
+      partitionPrune(snap, b)).filter(bloomKeeps(snap, _, b))
+    readFiles(spark, snap, files).where(predicate)
+  }
+
+  /** Sidecar byte cache for [[bloomKeeps]] — filters are immutable once
+    * written, so staleness is impossible; crude size bound only. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** Bloom probe for one file against the predicate's equality points: the
+    * file survives unless SOME conjunct's whole value set provably misses
+    * its filter. Missing sidecars, unprobeable types, and lossy literal
+    * casts all conservatively keep the file — the residual predicate runs
+    * regardless, so this can only skip work, never rows. */
+  private def bloomKeeps(snap: Snapshot, f: FileEntry, b: Bounds): Boolean = {
+    if (f.bloom.isEmpty || b.points.isEmpty) return true
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    def filterBytes(path: String): Option[Array[Byte]] =
+      Option(bloomCache.computeIfAbsent(path, { p =>
+        try {
+          if (bloomCache.size > 512) bloomCache.clear()
+          Files.readAllBytes(Paths.get(p.stripPrefix("file:")))
+        } catch { case _: java.io.IOException => null } // keep conservatively
+      }))
+    // a point contributes a definite hash only if the literal converts to
+    // the column's stored type LOSSLESSLY (the analyzer may have widened the
+    // column side: intCol = 5L arrives as a LongType literal)
+    def hashOf(v: Any, vt: DataType, ct: DataType): Option[Long] =
+      if (vt == ct) Some(Bloom.hashLiteral(v, ct))
+      else if (Cast.canCast(vt, ct) && Cast.canCast(ct, vt)) {
+        val down = Cast(Literal.create(v, vt), ct).eval(null)
+        val back = if (down == null) null else Cast(Literal.create(down, ct), vt).eval(null)
+        if (down != null && back == v) Some(Bloom.hashLiteral(down, ct)) else None
+      } else None
+    b.points.forall { case (c, conjuncts) =>
+      (f.bloom.get(c), schema.fields.find(_.name == c).map(_.dataType)) match {
+        case (Some(path), Some(ct)) => filterBytes(path).forall { bytes =>
+          conjuncts.forall(set => set.exists {
+            case (v, vt) => hashOf(v, vt, ct).forall(Bloom.mightContain(bytes, _))
+          })
+        }
+        case _ => true // no filter for this column (or unknown type): keep
+      }
+    }
   }
 
   /**
@@ -1337,10 +1413,16 @@ object IcebergLite {
       .where(graft.functions.GeoFunctions.stIntersectsUdf(lit(aoiWkt), col(f.source)))
   }
 
+  /** `points` carries the RAW typed equality constraints (each inner Seq is
+    * one `= v` / `IN (…)` conjunct's value set, kept exact for [[Bloom]]
+    * membership probes — the num/str views above collapse types to the
+    * stats domain, which is fine for ranges but loses the bits hashing
+    * needs). */
   private[table] case class Bounds(num: Map[String, (Double, Double)],
                                    str: Map[String, (Option[String], Option[String])],
                                    inNum: Map[String, Seq[Double]],
-                                   inStr: Map[String, Seq[String]])
+                                   inStr: Map[String, Seq[String]],
+                                   points: Map[String, Seq[Seq[(Any, org.apache.spark.sql.types.DataType)]]] = Map.empty)
 
   /** Conjunctive per-column bound extraction from an arbitrary predicate.
     * Handles literal-vs-attribute comparisons (either side), IN lists,
@@ -1366,6 +1448,9 @@ object IcebergLite {
     val str = scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
     val inNum = scala.collection.mutable.Map.empty[String, Seq[Double]]
     val inStr = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val points = scala.collection.mutable.Map.empty[String, Seq[Seq[(Any, DataType)]]]
+    def addPoints(c: String, vs: Seq[(Any, DataType)]): Unit =
+      points(c) = points.getOrElse(c, Nil) :+ vs
     // attribute possibly wrapped in a monotone widening cast (what type
     // coercion inserts): the bound transfers to the underlying column
     def name(e: Expression): Option[String] = e match {
@@ -1441,7 +1526,7 @@ object IcebergLite {
       case In(a, list) if list.forall(_.foldable) =>
         name(a).foreach { c =>
           val vs = list.flatMap(litVal)
-          if (vs.size == list.size && vs.nonEmpty) addIn(c, vs)
+          if (vs.size == list.size && vs.nonEmpty) { addIn(c, vs); addPoints(c, vs) }
         }
       case StartsWith(a, p) =>
         // any string with prefix P sorts in [P, P + U+FFFF...]; closed
@@ -1454,8 +1539,8 @@ object IcebergLite {
       case _ => () // OR / UDF / complex leaf: contributes no bound
     }
     def cmpEq(a: Expression, b: Expression): Unit = {
-      name(a).zip(litVal(b)).foreach { case (c, v) => add(c, Some(v), Some(v)) }
-      name(b).zip(litVal(a)).foreach { case (c, v) => add(c, Some(v), Some(v)) }
+      name(a).zip(litVal(b)).foreach { case (c, v) => add(c, Some(v), Some(v)); addPoints(c, Seq(v)) }
+      name(b).zip(litVal(a)).foreach { case (c, v) => add(c, Some(v), Some(v)); addPoints(c, Seq(v)) }
     }
     // a > b (and a >= b — closed intervals make them the same bound)
     def cmpGt(a: Expression, b: Expression): Unit = {
@@ -1470,7 +1555,7 @@ object IcebergLite {
       .where(predicate).queryExecution.analyzed
     analyzed.collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
       .foreach(walk)
-    Bounds(num.toMap, str.toMap, inNum.toMap, inStr.toMap)
+    Bounds(num.toMap, str.toMap, inNum.toMap, inStr.toMap, points.toMap)
   }
 
   /** Files selected under pruning (for tests/metrics). */
@@ -1492,7 +1577,8 @@ object IcebergLite {
       mm.toSeq.sortBy(_._1).map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val files = s.files.map { f =>
       val part = if (f.partition.isEmpty) "" else s""","partition":${m(f.partition)}"""
-      s"""{"path":"${esc(f.path)}","rows":${f.rows},"min":${m(f.min)},"max":${m(f.max)},"seq":${f.seq}$part}"""
+      val blm = if (f.bloom.isEmpty) "" else s""","bloom":${m(f.bloom)}"""
+      s"""{"path":"${esc(f.path)}","rows":${f.rows},"min":${m(f.min)},"max":${m(f.max)},"seq":${f.seq}$part$blm}"""
     }.mkString("[", ",", "]")
     val ren = if (s.renames.isEmpty) "" else s""","renames":${m(s.renames)}"""
     val del = if (s.deletes.isEmpty) "" else s.deletes.map(d =>
@@ -1520,6 +1606,8 @@ object IcebergLite {
         f("max").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
         f.get("seq").map(_.asInstanceOf[Double].toLong).getOrElse(0L),
         f.get("partition").map(_.asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty),
+        f.get("bloom").map(_.asInstanceOf[Map[String, Any]]
           .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty))
     }
     val deletes = obj.get("deletes").map(_.asInstanceOf[List[Any]].map { dd =>

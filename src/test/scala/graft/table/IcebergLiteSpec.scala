@@ -604,6 +604,47 @@ class IcebergLiteSpec extends AnyFunSuite {
       Seq("x"), "bad", sortBy = Seq("x"), zorderBy = Seq("x", "y")))
   }
 
+  test("bloom sidecars: point lookups prune hash-distributed files; always conservative") {
+    val t = tmpTable()
+    // 32 hash-distributed files: every file spans ~the full key range, so
+    // min/max prunes NOTHING for a point lookup — only the bloom can
+    val df = (0L until 64000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(32, $"k")
+    IcebergLite.append(spark, df, t, Seq("k"), "c1", bloomCols = Seq("k"))
+    val snap = IcebergLite.readSnapshot(t).get
+    assert(snap.files.size == 32 && snap.files.forall(_.bloom.contains("k")))
+
+    // single-point lookup: k lives in exactly one file; fp may add a couple
+    val q1 = IcebergLite.readWhere(spark, t, $"k" === 12345L)
+    assert(q1.as[(Long, String)].collect().toSeq == Seq((12345L, "v12345")))
+    assert(q1.inputFiles.length <= 4, s"bloom should prune to ~1 file, got ${q1.inputFiles.length}")
+
+    // IN-list: ≤ one file per key (+fp), and exact results
+    val keys = Seq(5L, 999L, 31007L, 63999L)
+    val q2 = IcebergLite.readWhere(spark, t, $"k".isin(keys: _*))
+    assert(q2.as[(Long, String)].collect().map(_._1).sorted.toSeq == keys)
+    assert(q2.inputFiles.length <= keys.size + 3)
+
+    // absent key: bloom may prune ALL files — still a correct empty result
+    assert(IcebergLite.readWhere(spark, t, $"k" === -1L).count() == 0)
+    // int literal against the long column: analyzer widens, probe downcasts
+    assert(IcebergLite.readWhere(spark, t, $"k" === 777).count() == 1)
+    // lossy literal (5.5 can never equal a long): conservative, not wrong
+    assert(IcebergLite.readWhere(spark, t, $"k" === 5.5).count() == 0)
+    // string column on the same table has no bloom: no pruning, right rows
+    assert(IcebergLite.readWhere(spark, t, $"v" === "v42").count() == 1)
+    // range predicates don't consult blooms (points only)
+    assert(IcebergLite.readWhere(spark, t, $"k" >= 63990L).count() == 10)
+
+    // maintenance: compacting away the bloomed files then expiring reaps
+    // the sidecars; orphan sweep never touches referenced ones
+    assert(IcebergLite.removeOrphanFiles(t, olderThanMillis = 0) == ((0, 0L)))
+    IcebergLite.compact(spark, t, Seq("k"), "cc")
+    IcebergLite.expireSnapshots(t, keepLast = 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, "blooms", "c1")))
+    assert(IcebergLite.read(spark, t).count() == 64000)
+  }
+
   test("removeOrphanFiles: crash residue reaped, referenced files kept, writer guard") {
     import java.nio.file.{Files => F, Paths => P}
     val t = tmpTable()
