@@ -969,7 +969,14 @@ object IcebergLite {
     * unmaintained upsert streams. */
   case class MaintenancePolicy(maxPendingDeleteFiles: Int = 8,
                                maxPendingDeleteBytes: Long = 64L << 20,
-                               sortBy: Seq[String] = Nil)
+                               sortBy: Seq[String] = Nil,
+                               keepSnapshots: Option[Int] = None,
+                               orphansOlderThanMillis: Option[Long] = None)
+
+  /** What one [[maintain]] tick did (None/0 where a leg didn't trigger). */
+  case class MaintenanceReport(compacted: Option[Snapshot],
+                               expiredSnapshots: Seq[Long], expiredFiles: Int,
+                               orphansDeleted: Int, orphanBytes: Long)
 
   /** (count, total bytes) of the current snapshot's pending equality-delete
     * files — the read-path debt [[maintain]] bounds. */
@@ -983,20 +990,31 @@ object IcebergLite {
     }.getOrElse((0, 0L))
 
   /**
-   * Auto-maintenance (Iceberg's `rewrite_data_files` on a schedule, the
-   * policy form): if the table's pending merge-on-read deletes exceed the
-   * policy, [[compact]] — applying every pending delete and resetting reads
-   * to clean scans — and return the new snapshot; otherwise do nothing.
-   * Called after each upsert batch, this bounds read degradation at the
-   * policy knee regardless of how many MoR commits a stream stacks.
+   * Auto-maintenance (the scheduled-job form of Iceberg's maintenance
+   * actions, all behind one policy): (1) if the table's pending
+   * merge-on-read deletes exceed the policy, [[compact]] — applying every
+   * pending delete and resetting reads to clean scans; (2) if
+   * `keepSnapshots` is set, [[expireSnapshots]] down to that window
+   * (consumer retention floor still applies); (3) if
+   * `orphansOlderThanMillis` is set, [[removeOrphanFiles]] older than it.
+   * Called after each upsert batch (or on a schedule), this bounds read
+   * degradation at the policy knee AND storage at the retention window,
+   * regardless of how many commits a stream stacks. Each leg is idempotent,
+   * so a crash mid-tick re-runs safely.
    */
   def maintain(spark: SparkSession, table: String, statsCols: Seq[String],
                commitId: String,
-               policy: MaintenancePolicy = MaintenancePolicy()): Option[Snapshot] = {
+               policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
     val (nDel, bytes) = pendingDeletes(table)
-    if (nDel > policy.maxPendingDeleteFiles || bytes > policy.maxPendingDeleteBytes)
-      Some(compact(spark, table, statsCols, commitId, sortBy = policy.sortBy))
-    else None
+    val compacted =
+      if (nDel > policy.maxPendingDeleteFiles || bytes > policy.maxPendingDeleteBytes)
+        Some(compact(spark, table, statsCols, commitId, sortBy = policy.sortBy))
+      else None
+    val (expIds, expFiles) = policy.keepSnapshots
+      .map(expireSnapshots(table, _)).getOrElse((Nil, 0))
+    val (orphN, orphB) = policy.orphansOlderThanMillis
+      .map(removeOrphanFiles(table, _)).getOrElse((0, 0L))
+    MaintenanceReport(compacted, expIds, expFiles, orphN, orphB)
   }
 
   /** INSERT OVERWRITE: replace the table's entire content with `df` as one

@@ -49,7 +49,7 @@ object MorScale {
     // compact (re-clusters on k, restoring the original appends' layout)
     val maintained = IcebergLite.maintain(spark, t, Seq("k"), "maint",
       IcebergLite.MaintenancePolicy(sortBy = Seq("k")))
-    require(maintained.isDefined, "policy should have triggered")
+    require(maintained.compacted.isDefined, "policy should have triggered")
     require(IcebergLite.readSnapshot(t).get.deletes.isEmpty, "compact must clear deletes")
     val wClean = math.min(timedRead(), timedRead())
     val rows = IcebergLite.read(spark, t).count()

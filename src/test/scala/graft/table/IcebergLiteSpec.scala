@@ -810,17 +810,26 @@ class IcebergLiteSpec extends AnyFunSuite {
         Seq((i.toLong, s"M$i")).toDF("k", "v"), Seq("k"), Seq("k"), s"m$i")
     }
     assert(IcebergLite.pendingDeletes(t)._1 == 3)
-    assert(IcebergLite.maintain(spark, t, Seq("k"), "maint0").isEmpty, "below policy: no-op")
+    assert(IcebergLite.maintain(spark, t, Seq("k"), "maint0").compacted.isEmpty,
+      "below policy: no-op")
     // tight policy → compact fires, deletes cleared, content identical
     val before = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
-    val snap = IcebergLite.maintain(spark, t, Seq("k"), "maint1",
+    val rep = IcebergLite.maintain(spark, t, Seq("k"), "maint1",
       IcebergLite.MaintenancePolicy(maxPendingDeleteFiles = 2))
-    assert(snap.isDefined && snap.get.deletes.isEmpty, "policy must compact and clear deletes")
+    assert(rep.compacted.isDefined && rep.compacted.get.deletes.isEmpty,
+      "policy must compact and clear deletes")
     val after = IcebergLite.read(spark, t).as[(Long, String)].collect().toMap
     assert(after == before && after(2L) == "M2" && after.size == 100)
     // idempotent follow-up: debt is zero now
     assert(IcebergLite.maintain(spark, t, Seq("k"), "maint2",
-      IcebergLite.MaintenancePolicy(maxPendingDeleteFiles = 0)).isEmpty)
+      IcebergLite.MaintenancePolicy(maxPendingDeleteFiles = 0)).compacted.isEmpty)
+    // full-policy tick: retention + orphan legs run in the same call
+    val rep2 = IcebergLite.maintain(spark, t, Seq("k"), "maint3",
+      IcebergLite.MaintenancePolicy(keepSnapshots = Some(1),
+        orphansOlderThanMillis = Some(0L)))
+    assert(rep2.compacted.isEmpty && rep2.expiredSnapshots.nonEmpty)
+    assert(IcebergLite.snapshots(t).size == 1)
+    assert(IcebergLite.read(spark, t).as[(Long, String)].collect().toMap == before)
   }
 
   test("sorted compact re-clusters: disjoint file ranges, pruning restored, order-insensitive content") {
