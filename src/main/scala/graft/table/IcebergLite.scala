@@ -276,9 +276,47 @@ object IcebergLite {
   def append(spark: SparkSession, df: DataFrame, table: String,
              statsCols: Seq[String], commitId: String,
              bloomCols: Seq[String] = Nil): Snapshot = {
-    writeData(df, table, commitId)
-    commitWritten(spark, df.schema.json, table, statsCols, commitId,
+    val (aligned, schemaJson) = alignForAppend(df, table)
+    writeData(aligned, table, commitId)
+    commitWritten(spark, schemaJson, table, statsCols, commitId,
       bloomCols = bloomCols)
+  }
+
+  /** Schema enforcement on append (Iceberg writes are schema-checked; a
+    * mismatched batch must never become a de-facto schema replacement —
+    * before this guard, appending `k:int` to a `k:long` table silently
+    * swapped the pinned schema and made every OLD file unreadable, and a
+    * batch missing a column silently hid that column's data). Columns are
+    * matched BY NAME (order-free, like parquet reads); types must agree
+    * ignoring nullability; the snapshot keeps the TABLE's schema json, so
+    * appends never churn schema history. Evolve explicitly with
+    * [[addColumn]]/[[renameColumn]]/[[dropColumn]], or replace with
+    * [[overwrite]]. */
+  private def alignForAppend(df: DataFrame, table: String): (DataFrame, String) =
+    readSnapshot(table) match {
+      case None => (df, df.schema.json)
+      case Some(snap) =>
+        val pinned = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        (alignToSchema(df, pinned, table, "append"), snap.schemaJson)
+    }
+
+  /** Validate a write batch against the table's pinned schema (matched BY
+    * NAME, order-free, nullability-insensitive) and return it in schema
+    * order. Used by append and the merge pair — selecting by name alone
+    * would let a type-drifted batch write parquet the pinned schema can't
+    * read back. */
+  private def alignToSchema(df: DataFrame,
+                            pinned: org.apache.spark.sql.types.StructType,
+                            table: String, op: String): DataFrame = {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    require(shape(df.schema) == shape(pinned),
+      s"$op schema mismatch for $table: table has " +
+        s"${shape(pinned).toSeq.sorted.mkString(", ")} but the batch has " +
+        s"${shape(df.schema).toSeq.sorted.mkString(", ")} — evolve with " +
+        "addColumn/renameColumn/dropColumn or replace with overwrite")
+    df.select(pinned.fieldNames.map(col).toSeq: _*)
   }
 
   /** [[append]] with merge-style crash-retry idempotence: if ANY snapshot
@@ -875,7 +913,7 @@ object IcebergLite {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    val aligned = alignToSchema(updates, schema, table, "merge")
     val probeAggs = Seq(
       count(lit(1)).as("__n"),
       // struct() so tuples containing nulls still count as distinct values
@@ -936,7 +974,7 @@ object IcebergLite {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    val aligned = alignToSchema(updates, schema, table, "mergeOnRead")
     val nDup = updates.agg(count(lit(1)).as("__n"),
       countDistinct(struct(keyCols.map(col): _*)).as("__nd")).collect()(0)
     require(nDup.getAs[Long]("__n") == nDup.getAs[Long]("__nd"),

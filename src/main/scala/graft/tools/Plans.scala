@@ -182,6 +182,24 @@ object Plans {
       capture(graft.table.IcebergLite.readAoi(spark, partTbl,
         "POLYGON((0 0, 12 0, 12 10, 0 10, 0 0))"))))
 
+    // z-order clustered AOI read: file list pre-pruned by TIGHT min/max on
+    // BOTH interleaved columns — no partition dirs anywhere
+    sections += (("z-order clustered AOI read (tbl_zorder's readWhere)",
+      "the z-clustered layout makes every file's xmin AND ymin manifest " +
+        "ranges ~√(files) tight, so the conjunctive AOI prunes " +
+        "multiplicatively BEFORE the plan exists; the plan itself is a " +
+        "plain codegen'd scan+filter over the few surviving files",
+      capture(graft.SparkEntry.queries("tbl_zorder")(spark, sfDir))))
+
+    // bloom point lookup: every candidate file's sidecar is probed driver-
+    // side; the plan scans only membership hits
+    sections += (("Bloom-sidecar point lookup (tbl_bloom's readWhere)",
+      "min/max can't prune a point lookup on a hash-distributed key; the " +
+        "per-file Bloom probe (driver-side, xxhash64-exact) drops every " +
+        "provably-missing file, so the scan opens ~1 file per IN-list key " +
+        "at any table size",
+      capture(graft.SparkEntry.queries("tbl_bloom")(spark, sfDir))))
+
     // TTL lease tracker: one keyed exchange into mapGroupsWithState,
     // per-item replay is a handful of counters
     sections += (("TTL lease tracker (str_requeue)",

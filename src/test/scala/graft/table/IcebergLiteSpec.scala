@@ -543,6 +543,34 @@ class IcebergLiteSpec extends AnyFunSuite {
       java.nio.file.Files.exists(java.nio.file.Paths.get(f.path.stripPrefix("file:")))))
   }
 
+  test("append enforces the pinned schema: order-free, type/column drift refused") {
+    val t = tmpTable()
+    IcebergLite.append(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), "c1")
+    // reordered columns are aligned by name, schema json stays the table's
+    IcebergLite.append(spark, Seq(("b", 2L)).toDF("v", "k"), t, Seq("k"), "c2")
+    assert(IcebergLite.read(spark, t).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+    // a type change must be refused, not become a schema replacement
+    assertThrows[IllegalArgumentException](IcebergLite.append(spark,
+      Seq((3, "c")).toDF("k", "v"), t, Seq("k"), "c3"))
+    // missing and extra columns likewise
+    assertThrows[IllegalArgumentException](IcebergLite.append(spark,
+      Seq(Tuple1(4L)).toDF("k"), t, Seq("k"), "c4"))
+    assertThrows[IllegalArgumentException](IcebergLite.append(spark,
+      Seq((5L, "e", 1.0)).toDF("k", "v", "w"), t, Seq("k"), "c5"))
+    // the refused commits left nothing behind; explicit evolution still works
+    assert(IcebergLite.read(spark, t).count() == 2)
+    IcebergLite.addColumn(t, "w", "double")
+    IcebergLite.append(spark, Seq((5L, "e", 1.0)).toDF("k", "v", "w"), t, Seq("k"), "c5")
+    assert(IcebergLite.read(spark, t).count() == 3)
+    // the merge pair enforces the same shape (select-by-name alone would
+    // write parquet the pinned schema can't read back)
+    assertThrows[IllegalArgumentException](IcebergLite.merge(spark, t,
+      Seq((1, "x", 0.0)).toDF("k", "v", "w"), Seq("k"), Seq("k"), "m_bad"))
+    assertThrows[IllegalArgumentException](IcebergLite.mergeOnRead(spark, t,
+      Seq((1, "x", 0.0)).toDF("k", "v", "w"), Seq("k"), Seq("k"), "mr_bad"))
+  }
+
   test("zvalue: Spark column matches the reference interleave") {
     val lo = 0.0; val hi = 3.0
     val maxQ = (1L << ZOrder.Bits) - 1
