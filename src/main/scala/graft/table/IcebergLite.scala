@@ -96,11 +96,19 @@ object IcebergLite {
     * CURRENT snapshot instead of a scan of all history: O(1) per commit on
     * a 10k-commit table, and still refusing a replay after the original
     * commit's snapshots (or even its files) have been expired. */
+  /** A table's declared write clustering (Iceberg's `write.sort-order` /
+    * sort-order metadata): once set, EVERY writer lays its batch out by it
+    * — linear range-sort or z-order interleave over `cols` — and
+    * [[compact]] defaults to it, so per-file min/max stays tight without
+    * each caller re-stating the layout. */
+  case class SortOrder(cols: Seq[String], zorder: Boolean = false)
+
   case class Snapshot(id: Long, parent: Long, schemaJson: String, files: Seq[FileEntry],
                       renames: Map[String, String] = Map.empty,
                       deletes: Seq[DeleteEntry] = Nil,
                       commitIds: Set[String] = Set.empty,
-                      spec: Seq[PartitionField] = Nil) {
+                      spec: Seq[PartitionField] = Nil,
+                      order: Option[SortOrder] = None) {
     def physical(logical: String): String = renames.getOrElse(logical, logical)
   }
 
@@ -396,20 +404,52 @@ object IcebergLite {
   def writeData(df: DataFrame, table: String, commitId: String): Unit =
     writeDataSpec(df, table, commitId, readSnapshot(table).map(_.spec).getOrElse(Nil))
 
+  /** [[writeData]] without the declared-SortOrder pass — for [[compact]],
+    * which owns its clustering AND its size-targeted file count. */
+  private def writeDataRaw(df: DataFrame, table: String, commitId: String): Unit =
+    writeDataSpec(df, table, commitId,
+      readSnapshot(table).map(_.spec).getOrElse(Nil), applyOrder = false)
+
   private def writeDataSpec(df: DataFrame, table: String, commitId: String,
-                            spec: Seq[PartitionField]): Unit = {
+                            spec: Seq[PartitionField],
+                            applyOrder: Boolean = true): Unit = {
     val dir = Paths.get(table, "data", commitId).toString
+    val snap = readSnapshot(table)
+    val physFn = snap.map(s => s.physical _).getOrElse(identity[String] _)
     val phys = toPhysical(df, table)
-    if (spec.isEmpty) phys.write.mode("overwrite").parquet(dir)
-    else {
-      val physFn = readSnapshot(table).map(s => s.physical _).getOrElse(identity[String] _)
+    val order = if (applyOrder) snap.flatMap(_.order) else None
+    // the declared SortOrder's clustering expression(s), in PHYSICAL names;
+    // z-order quantizes against THIS BATCH's bounds (per-batch locality —
+    // cross-batch unification is compact's job, exactly as in Iceberg)
+    def orderExprs(o: SortOrder): Seq[Column] =
+      if (!o.zorder) o.cols.map(c => col(physFn(c)))
+      else {
+        val aggs = o.cols.flatMap(c => Seq(
+          min(col(physFn(c))).cast("double").as(s"lo_$c"),
+          max(col(physFn(c))).cast("double").as(s"hi_$c")))
+        val b = phys.agg(aggs.head, aggs.tail: _*).collect()(0)
+        def d(n: String): Double =
+          Option(b.getAs[java.lang.Double](n)).fold(Double.NaN)(_.doubleValue)
+        Seq(ZOrder.zvalue(o.cols.map(c =>
+          col(physFn(c)) -> (d(s"lo_$c"), d(s"hi_$c")))))
+      }
+    if (spec.isEmpty) {
+      val out = order.fold(phys) { o =>
+        val es = orderExprs(o)
+        phys.repartitionByRange(es: _*).sortWithinPartitions(es: _*)
+      }
+      out.write.mode("overwrite").parquet(dir)
+    } else {
       val withP = spec.foldLeft(phys)((acc, f) =>
         acc.withColumn(partColName(f), partitionExpr(f, df.schema, physFn)))
       // one repartition by partition value clusters each partition's rows
       // into as few files as the value's volume needs; partitionBy then
       // routes them into p_<name>=<value>/ dirs (values are NOT stored in
-      // the files — the layout and the manifest carry them)
-      withP.repartition(spec.map(f => col(partColName(f))): _*)
+      // the files — the layout and the manifest carry them). A declared
+      // SortOrder additionally sorts WITHIN each partition's rows.
+      val parts = spec.map(f => col(partColName(f)))
+      val clustered = withP.repartition(parts: _*)
+      order.fold(clustered)(o => clustered.sortWithinPartitions(parts ++ orderExprs(o): _*))
         .write.mode("overwrite")
         .partitionBy(spec.map(partColName): _*)
         .parquet(dir)
@@ -493,6 +533,36 @@ object IcebergLite {
   }
 
   /**
+   * Declare (or change) the table's write SortOrder — a METADATA-ONLY
+   * commit (Iceberg's `replaceSortOrder`). From then on every
+   * [[append]]/[[merge]]/[[mergeOnRead]]/[[overwrite]] clusters its batch
+   * by it (range-sort, or z-order bit-interleave over the batch's bounds)
+   * and [[compact]] defaults to it table-wide, so per-file min/max stats
+   * stay tight without any caller re-stating the layout. Existing files
+   * keep their layout until the next compaction — exactly like spec
+   * evolution. Pass `None` to clear.
+   */
+  def setSortOrder(table: String, order: Option[SortOrder]): Snapshot = retryOnConflict() {
+    import org.apache.spark.sql.types.{DataType, NumericType, StructType}
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    order.foreach { o =>
+      require(o.cols.nonEmpty && o.cols.distinct.size == o.cols.size,
+        s"bad sort-order columns ${o.cols}")
+      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      o.cols.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"sort-order column $c not in schema"))
+        if (o.zorder) require(f.dataType.isInstanceOf[NumericType],
+          s"z-order needs numeric columns; $c is ${f.dataType.simpleString}")
+      }
+      if (o.zorder) require(o.cols.size >= 2 && o.cols.size <= 3,
+        s"z-order takes 2 or 3 columns, got ${o.cols.size}")
+    }
+    commitSnapshot(table, snap.copy(id = snap.id + 1, parent = snap.id, order = order))
+  }
+
+  /**
    * Compaction (Iceberg's `rewrite_data_files`): read the current snapshot,
    * rewrite it as ONE fresh commit, and swap in a snapshot that references
    * ONLY the compacted files. Old files stay on disk — historical snapshots
@@ -509,6 +579,13 @@ object IcebergLite {
       "sortBy and zorderBy are alternative clustering strategies; pick one")
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
+    // explicit clustering args win; otherwise the table's declared
+    // SortOrder (setSortOrder) decides — compact is where per-batch write
+    // clustering gets unified table-wide
+    val (effSort, effZ) =
+      if (sortBy.nonEmpty || zorderBy.nonEmpty) (sortBy, zorderBy)
+      else snap.order.map(o => if (o.zorder) (Nil, o.cols) else (o.cols, Nil))
+        .getOrElse((Nil, Nil))
     val cur = read(spark, table) // snapshot-pinned file list: safe self-read
     // A MoR-degraded read is a union whose partition count is the SUM of its
     // legs' — written as-is, a 33-leg union splinters into ~1000 files and
@@ -530,28 +607,32 @@ object IcebergLite {
     // Range-partition + sortWithinPartitions on `sortBy` restores both.
     val out =
       if (snap.spec.nonEmpty) cur // layout clustering comes from the spec
-      else if (zorderBy.nonEmpty) {
+      else if (effZ.nonEmpty) {
         // Z-order rewrite (Iceberg's z-order strategy): global bounds in one
         // pass, then range-partition + sort on the interleaved key — every
         // zorderBy column gets ~multiplicatively tight per-file min/max, so
         // conjunctive range reads (AOI scans) prune on ALL of them at once.
-        val aggs = zorderBy.flatMap(c => Seq(
+        val aggs = effZ.flatMap(c => Seq(
           min(col(c)).cast("double").as(s"lo_$c"),
           max(col(c)).cast("double").as(s"hi_$c")))
         val b = cur.agg(aggs.head, aggs.tail: _*).collect()(0)
         // all-null/empty bounds degrade to a constant dimension (no NPE)
         def d(n: String): Double =
           Option(b.getAs[java.lang.Double](n)).fold(Double.NaN)(_.doubleValue)
-        val z = ZOrder.zvalue(zorderBy.map(c =>
+        val z = ZOrder.zvalue(effZ.map(c =>
           col(c) -> (d(s"lo_$c"), d(s"hi_$c"))))
         cur.repartitionByRange(target, z).sortWithinPartitions(z)
       }
-      else if (sortBy.nonEmpty)
-        cur.repartitionByRange(target, sortBy.map(col): _*)
-          .sortWithinPartitions(sortBy.map(col): _*)
+      else if (effSort.nonEmpty)
+        cur.repartitionByRange(target, effSort.map(col): _*)
+          .sortWithinPartitions(effSort.map(col): _*)
       else if (cur.rdd.getNumPartitions > target) cur.coalesce(target)
       else cur
-    writeData(out, table, commitId)
+    // spec'd tables cluster in writeDataSpec (partition repartition + the
+    // declared order within partitions); unpartitioned rewrites clustered
+    // RIGHT HERE with the size-targeted file count, so skip the order pass
+    if (snap.spec.nonEmpty) writeData(out, table, commitId)
+    else writeDataRaw(out, table, commitId)
     commitWritten(spark, cur.schema.json, table, statsCols, commitId,
       keepPrev = false, basedOn = Some(snap), bloomCols = bloomCols)
   }
@@ -709,11 +790,11 @@ object IcebergLite {
             s"$table schema evolved while appending $commitId; re-run")
         else Some(Snapshot(cur.id + 1, cur.id, schemaJson,
           cur.files ++ entries.map(_.copy(seq = cur.id + 1)),
-          cur.renames, cur.deletes, curLedger + commitId, cur.spec))
+          cur.renames, cur.deletes, curLedger + commitId, cur.spec, cur.order))
       }
     commitSnapshot(table, Snapshot(parent + 1, parent, schemaJson,
       prevFiles ++ carryFiles ++ entries, prev.map(_.renames).getOrElse(Map.empty),
-      prevDeletes ++ carryDeletes, ledger, spec), rebase)
+      prevDeletes ++ carryDeletes, ledger, spec, prev.flatMap(_.order)), rebase)
   }
 
   /** A commit found the table advanced past the snapshot it was computed
@@ -849,6 +930,8 @@ object IcebergLite {
       s"column $name is a pending equality-delete key; compact first")
     require(!snap.spec.exists(_.source == name),
       s"column $name is a partition source; drop the partition field first")
+    require(!snap.order.exists(_.cols.contains(name)),
+      s"column $name is in the table's sort order; setSortOrder first")
     commitSnapshot(table, snap.copy(id = snap.id + 1, parent = snap.id,
       schemaJson = narrowed.json, renames = snap.renames - name))
   }
@@ -875,9 +958,12 @@ object IcebergLite {
     // column is called today)
     val renamedSpec = snap.spec.map(f =>
       if (f.source == from) f.copy(source = to) else f)
+    // the sort order, like the spec, tracks LOGICAL names across renames
+    val renamedOrder = snap.order.map(o =>
+      o.copy(cols = o.cols.map(c => if (c == from) to else c)))
     commitSnapshot(table, snap.copy(id = snap.id + 1, parent = snap.id,
       schemaJson = renamed.json, renames = (snap.renames - from) + (to -> physicalName),
-      spec = renamedSpec))
+      spec = renamedSpec, order = renamedOrder))
   }
 
   /**
@@ -1646,7 +1732,10 @@ object IcebergLite {
     val spec = if (s.spec.isEmpty) "" else s.spec.map(f =>
       s"""{"name":"${esc(f.name)}","source":"${esc(f.source)}","transform":"${esc(f.transform)}"}""")
       .mkString(""","spec":[""", ",", "]")
-    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files$ren$del$cids$spec}"""
+    val ord = s.order.map(o =>
+      s""","order":{"cols":${o.cols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")},"zorder":${o.zorder}}""")
+      .getOrElse("")
+    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files$ren$del$cids$spec$ord}"""
   }
 
   /** Tiny recursive-descent JSON parser for our own snapshot format. */
@@ -1682,7 +1771,12 @@ object IcebergLite {
         val f = so.asInstanceOf[Map[String, Any]]
         PartitionField(f("name").asInstanceOf[String],
           f("source").asInstanceOf[String], f("transform").asInstanceOf[String])
-      }).getOrElse(Nil))
+      }).getOrElse(Nil),
+      obj.get("order").map { oo =>
+        val o = oo.asInstanceOf[Map[String, Any]]
+        SortOrder(o("cols").asInstanceOf[List[Any]].map(_.toString),
+          o("zorder").asInstanceOf[Boolean])
+      })
   }
 }
 

@@ -632,6 +632,58 @@ class IcebergLiteSpec extends AnyFunSuite {
       Seq("x"), "bad", sortBy = Seq("x"), zorderBy = Seq("x", "y")))
   }
 
+  test("declared sort order: writers cluster automatically, compact defaults to it") {
+    import java.lang.Double.parseDouble
+    val t = tmpTable()
+    val rows = (0L until 8000L).map(i => (i, (i * 7919 % 8000).toDouble))
+    IcebergLite.append(spark, rows.toDF("k", "x").repartition(8, $"k"), t, Seq("x"), "c1")
+    // unordered: hash-distributed files all span ~the full x domain
+    def spans(tbl: String): Seq[(Double, Double)] =
+      IcebergLite.readSnapshot(tbl).get.files.map(f =>
+        (parseDouble(f.min("x")), parseDouble(f.max("x"))))
+    assert(spans(t).forall { case (lo, hi) => hi - lo > 4000 })
+
+    IcebergLite.setSortOrder(t, Some(IcebergLite.SortOrder(Seq("x"))))
+    // a PLAIN append now lands range-clustered — no caller-side layout code.
+    // (AQE's size-aware coalesce folds this tiny test batch into ONE range
+    // partition — the right call at real scale, where partitions are
+    // GB-sized; shrink its thresholds so clustering is observable across
+    // multiple files here. parallelismFirst mode coalesces by
+    // minPartitionSize, not the advisory size.)
+    val tuned = Map(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    val s2 = try IcebergLite.append(spark,
+      (8000L until 16000L).map(i => (i, (i * 7919 % 8000).toDouble))
+        .toDF("k", "x").repartition(8, $"k"), t, Seq("x"), "c2")
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    val newSpans = s2.files.filter(_.seq == s2.id)
+      .map(f => (parseDouble(f.min("x")), parseDouble(f.max("x"))))
+    assert(newSpans.size > 1 && newSpans.forall { case (lo, hi) => hi - lo < 2600 },
+      s"ordered append should write tight x ranges, got $newSpans")
+
+    // compact with NO explicit clustering unifies the WHOLE table to the order
+    IcebergLite.compact(spark, t, Seq("x"), "cc", targetFileBytes = 16 << 10)
+    val unified = spans(t)
+    assert(unified.size > 1 && unified.forall { case (lo, hi) => hi - lo < 2600 },
+      s"compact should default to the declared order, got $unified")
+    assert(IcebergLite.read(spark, t).count() == 16000)
+
+    // order follows renames; dropping an ordered column is refused
+    IcebergLite.renameColumn(t, "x", "y")
+    assert(IcebergLite.readSnapshot(t).get.order.get.cols == Seq("y"))
+    assertThrows[IllegalArgumentException](IcebergLite.dropColumn(t, "y"))
+    // z-order validation: non-numeric and wrong arity refused
+    assertThrows[IllegalArgumentException](IcebergLite.setSortOrder(t,
+      Some(IcebergLite.SortOrder(Seq("y"), zorder = true))))
+    // clear: appends stop clustering (metadata-only, nothing rewritten)
+    IcebergLite.setSortOrder(t, None)
+    assert(IcebergLite.readSnapshot(t).get.order.isEmpty)
+  }
+
   test("bloom sidecars: point lookups prune hash-distributed files; always conservative") {
     val t = tmpTable()
     // 32 hash-distributed files: every file spans ~the full key range, so
