@@ -103,12 +103,22 @@ object IcebergLite {
     * each caller re-stating the layout. */
   case class SortOrder(cols: Seq[String], zorder: Boolean = false)
 
+  /** `manifests` is the snapshot's on-disk file-list layout: paths of
+    * IMMUTABLE manifest files (each a JSON array of [[FileEntry]]) whose
+    * concatenation is `files`. Consecutive snapshots SHARE manifest files —
+    * [[persistSnapshot]] reuses every parent manifest whose entries are
+    * carried unchanged and writes only the delta — so an append's metadata
+    * write is O(new files), not O(table files). In memory `files` is always
+    * fully materialized; `manifests` is bookkeeping for the write side and
+    * expiry. Empty for legacy inline-files snapshots (their next commit
+    * converts). */
   case class Snapshot(id: Long, parent: Long, schemaJson: String, files: Seq[FileEntry],
                       renames: Map[String, String] = Map.empty,
                       deletes: Seq[DeleteEntry] = Nil,
                       commitIds: Set[String] = Set.empty,
                       spec: Seq[PartitionField] = Nil,
-                      order: Option[SortOrder] = None) {
+                      order: Option[SortOrder] = None,
+                      manifests: Seq[String] = Nil) {
     def physical(logical: String): String = renames.getOrElse(logical, logical)
   }
 
@@ -827,14 +837,42 @@ object IcebergLite {
   }
 
   /** Unconditional snapshot write + CURRENT swap. Callers must hold the
-    * commit lock and have validated the parent. */
+    * commit lock and have validated the parent.
+    *
+    * Two-level metadata (Iceberg's manifest list): the file list is laid
+    * out as immutable manifest files SHARED across snapshots. Every parent
+    * manifest whose entries are carried unchanged (same path, same seq,
+    * same stats) is referenced by path; only the remainder — the commit's
+    * new or rewritten entries — goes into one new manifest. An append on a
+    * 100k-file table therefore writes O(new files) metadata bytes, not a
+    * fresh 100k-entry JSON; without this, metadata write amplification is
+    * O(files × commits). Manifest files are written BEFORE the CURRENT
+    * swap, so a crash strands only an unreferenced manifest
+    * ([[removeOrphanFiles]] reaps it). The returned snapshot's file order
+    * is the canonical on-disk order (reused manifests first), so the value
+    * a committer holds matches what every later parse reads. */
   private def persistSnapshot(table: String, snap: Snapshot): Snapshot = {
-    Files.writeString(metaDir(table).resolve(s"snapshot-${snap.id}.json"), renderSnapshot(snap))
+    val parentManifests = snapshotAt(table, snap.parent).map(_.manifests).getOrElse(Nil)
+    val byKey = snap.files.map(f => f.path -> f).toMap
+    val reused = parentManifests.filter(p =>
+      loadManifest(p).forall(e => byKey.get(e.path).contains(e)))
+    val reusedPaths = reused.flatMap(loadManifest).map(_.path).toSet
+    val remainder = snap.files.filterNot(f => reusedPaths.contains(f.path))
+    val refs = reused ++ (if (remainder.isEmpty) Nil else {
+      val mf = metaDir(table).resolve(s"manifest-${snap.id}-${System.nanoTime()}.json")
+      Files.writeString(mf, remainder.map(renderFileEntry).mkString("[", ",", "]"))
+      manifestCache.put(mf.toString, remainder)
+      Seq(mf.toString)
+    })
+    val canonical = snap.copy(files = reused.flatMap(loadManifest) ++ remainder,
+      manifests = refs)
+    Files.writeString(metaDir(table).resolve(s"snapshot-${snap.id}.json"),
+      renderSnapshot(canonical))
     val tmp = metaDir(table).resolve("CURRENT.tmp")
     Files.writeString(tmp, snap.id.toString)
     Files.move(tmp, metaDir(table).resolve("CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    snap
+    canonical
   }
 
   /** Optimistic-concurrency commit tail shared by data commits and
@@ -1232,6 +1270,11 @@ object IcebergLite {
         if (!hasData) graft.Fs.deleteRecursively(d)
       } catch { case _: java.io.IOException => () }
     }
+    // manifests referenced only by expired snapshots go with them
+    val keptManifests = keptSnaps.flatMap(_.manifests).toSet
+    expired.flatMap(snapshotAt(table, _)).flatMap(_.manifests).distinct
+      .filterNot(keptManifests.contains)
+      .foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(id => Files.deleteIfExists(metaDir(table).resolve(s"snapshot-$id.json")))
     (expired, deleted)
   }
@@ -1292,6 +1335,23 @@ object IcebergLite {
               Files.getLastModifiedTime(c).toMillis < cutoff
           } finally ls.close()
           if (residueOnly) graft.Fs.deleteRecursively(d)
+        }
+      }
+    }
+    // stranded manifests: written before a CURRENT swap that never happened
+    // (crash, lost commit race) — referenced by no snapshot, same age guard
+    val keptManifests = snapshots(table).flatMap(snapshotAt(table, _))
+      .flatMap(_.manifests).map(p => Paths.get(p).toAbsolutePath.normalize).toSet
+    val md = metaDir(table)
+    if (Files.exists(md)) {
+      val st = Files.list(md)
+      val manifests = try st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("manifest-")).toVector
+      finally st.close()
+      manifests.foreach { m =>
+        if (!keptManifests.contains(m.toAbsolutePath.normalize) &&
+            Files.getLastModifiedTime(m).toMillis < cutoff) {
+          bytes += Files.size(m); Files.delete(m); deleted += 1
         }
       }
     }
@@ -1714,14 +1774,24 @@ object IcebergLite {
     case '\t' => "\\t"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
   }
 
+  private def jm(mm: Map[String, String]): String =
+    mm.toSeq.sortBy(_._1).map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+
+  private def renderFileEntry(f: FileEntry): String = {
+    val part = if (f.partition.isEmpty) "" else s""","partition":${jm(f.partition)}"""
+    val blm = if (f.bloom.isEmpty) "" else s""","bloom":${jm(f.bloom)}"""
+    s"""{"path":"${esc(f.path)}","rows":${f.rows},"min":${jm(f.min)},"max":${jm(f.max)},"seq":${f.seq}$part$blm}"""
+  }
+
   private def renderSnapshot(s: Snapshot): String = {
-    def m(mm: Map[String, String]) =
-      mm.toSeq.sortBy(_._1).map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val files = s.files.map { f =>
-      val part = if (f.partition.isEmpty) "" else s""","partition":${m(f.partition)}"""
-      val blm = if (f.bloom.isEmpty) "" else s""","bloom":${m(f.bloom)}"""
-      s"""{"path":"${esc(f.path)}","rows":${f.rows},"min":${m(f.min)},"max":${m(f.max)},"seq":${f.seq}$part$blm}"""
-    }.mkString("[", ",", "]")
+    def m(mm: Map[String, String]) = jm(mm)
+    // two-level layout: when the snapshot has a manifest plan, the file
+    // list lives in the (shared, immutable) manifest files and the
+    // snapshot carries only their paths
+    val files =
+      if (s.manifests.nonEmpty)
+        s""""manifests":${s.manifests.map(p => s""""${esc(p)}"""").mkString("[", ",", "]")}"""
+      else s""""files":${s.files.map(renderFileEntry).mkString("[", ",", "]")}"""
     val ren = if (s.renames.isEmpty) "" else s""","renames":${m(s.renames)}"""
     val del = if (s.deletes.isEmpty) "" else s.deletes.map(d =>
       s"""{"path":"${esc(d.path)}","seq":${d.seq},"keys":${d.keys.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")}}""")
@@ -1735,26 +1805,49 @@ object IcebergLite {
     val ord = s.order.map(o =>
       s""","order":{"cols":${o.cols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")},"zorder":${o.zorder}}""")
       .getOrElse("")
-    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}","files":$files$ren$del$cids$spec$ord}"""
+    s"""{"id":${s.id},"parent":${s.parent},"schema":"${esc(s.schemaJson)}",$files$ren$del$cids$spec$ord}"""
   }
+
+  private def parseFileEntry(fo: Any): FileEntry = {
+    val f = fo.asInstanceOf[Map[String, Any]]
+    FileEntry(f("path").asInstanceOf[String],
+      f("rows").asInstanceOf[Double].toLong,
+      f("min").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
+      f("max").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
+      f.get("seq").map(_.asInstanceOf[Double].toLong).getOrElse(0L),
+      f.get("partition").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty),
+      f.get("bloom").map(_.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty))
+  }
+
+  /** Manifest-file loads (cache misses) since JVM start — the metadata-read
+    * meter for the two-level layout: re-reading a table whose manifests are
+    * cached costs zero manifest loads however long its history. */
+  val manifestLoads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Manifest files are IMMUTABLE once written (never appended, never
+    * rewritten under the same path), so caching by path can never go stale.
+    * Crude size bound only. */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+
+  private def loadManifest(path: String): Seq[FileEntry] =
+    manifestCache.computeIfAbsent(path, { p =>
+      manifestLoads.incrementAndGet()
+      if (manifestCache.size > 4096) manifestCache.clear()
+      new JsonP(Files.readString(Paths.get(p))).parse()
+        .asInstanceOf[List[Any]].map(parseFileEntry)
+    })
 
   /** Tiny recursive-descent JSON parser for our own snapshot format. */
   private[table] def parseSnapshot(js: String): Snapshot = {
     metaParses.incrementAndGet()
     val p = new JsonP(js)
     val obj = p.parse().asInstanceOf[Map[String, Any]]
-    val files = obj("files").asInstanceOf[List[Any]].map { fo =>
-      val f = fo.asInstanceOf[Map[String, Any]]
-      FileEntry(f("path").asInstanceOf[String],
-        f("rows").asInstanceOf[Double].toLong,
-        f("min").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
-        f("max").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
-        f.get("seq").map(_.asInstanceOf[Double].toLong).getOrElse(0L),
-        f.get("partition").map(_.asInstanceOf[Map[String, Any]]
-          .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty),
-        f.get("bloom").map(_.asInstanceOf[Map[String, Any]]
-          .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty))
-    }
+    val manifests = obj.get("manifests")
+      .map(_.asInstanceOf[List[Any]].map(_.toString)).getOrElse(Nil)
+    val files = manifests.flatMap(loadManifest) ++
+      obj.get("files").map(_.asInstanceOf[List[Any]].map(parseFileEntry)).getOrElse(Nil)
     val deletes = obj.get("deletes").map(_.asInstanceOf[List[Any]].map { dd =>
       val d = dd.asInstanceOf[Map[String, Any]]
       DeleteEntry(d("path").asInstanceOf[String], d("seq").asInstanceOf[Double].toLong,
@@ -1776,7 +1869,8 @@ object IcebergLite {
         val o = oo.asInstanceOf[Map[String, Any]]
         SortOrder(o("cols").asInstanceOf[List[Any]].map(_.toString),
           o("zorder").asInstanceOf[Boolean])
-      })
+      },
+      manifests)
   }
 }
 

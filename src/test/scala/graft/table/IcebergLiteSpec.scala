@@ -632,6 +632,47 @@ class IcebergLiteSpec extends AnyFunSuite {
       Seq("x"), "bad", sortBy = Seq("x"), zorderBy = Seq("x", "y")))
   }
 
+  test("two-level manifests: appends write O(delta) metadata, manifests shared and reaped") {
+    import java.nio.file.{Files => F, Paths => P}
+    val t = tmpTable()
+    (0 until 12).foreach { i =>
+      IcebergLite.append(spark,
+        Seq((i.toLong, s"a$i")).toDF("k", "v").coalesce(1), t, Seq("k"), s"c$i")
+    }
+    val metaP = (id: Long) => P.get(t, "_graft_meta", s"snapshot-$id.json")
+    // snapshot JSON size stays ~flat as files stack: the file list lives in
+    // shared manifests, the snapshot carries only paths (inline layout
+    // would grow ~12x here)
+    val early = F.size(metaP(2)); val late = F.size(metaP(11))
+    assert(late < early * 3, s"snapshot json grew $early -> $late: not O(delta)")
+    // consecutive snapshots SHARE manifest files; each commit added exactly one
+    val s10 = IcebergLite.snapshotAt(t, 10).get
+    val s11 = IcebergLite.snapshotAt(t, 11).get
+    assert(s11.manifests.size == 12 && s10.manifests.size == 11)
+    assert(s10.manifests.forall(s11.manifests.contains))
+    // each shared manifest holds just its commit's delta
+    assert(s11.manifests.forall(m =>
+      F.readString(P.get(m)).count(_ == '{') <= 4)) // 1 entry (+nested maps)
+    assert(IcebergLite.read(spark, t).count() == 12)
+    // a metadata-only commit reuses EVERY manifest (writes none)
+    val before = s11.manifests.toSet
+    IcebergLite.setSortOrder(t, Some(IcebergLite.SortOrder(Seq("k"))))
+    assert(IcebergLite.readSnapshot(t).get.manifests.toSet == before)
+    // compact rewrites to one manifest; expire reaps the unreferenced ones
+    IcebergLite.setSortOrder(t, None)
+    IcebergLite.compact(spark, t, Seq("k"), "cc")
+    assert(IcebergLite.readSnapshot(t).get.manifests.size == 1)
+    IcebergLite.expireSnapshots(t, keepLast = 1)
+    before.foreach(m => assert(!F.exists(P.get(m)), s"expired manifest $m survives"))
+    assert(IcebergLite.read(spark, t).count() == 12)
+    // a stranded manifest (crashed commit) is orphan-swept, referenced kept
+    val stranded = P.get(t, "_graft_meta", "manifest-999-1.json")
+    F.writeString(stranded, "[]")
+    val (n, _) = IcebergLite.removeOrphanFiles(t, olderThanMillis = 0)
+    assert(n == 1 && !F.exists(stranded))
+    assert(IcebergLite.read(spark, t).count() == 12)
+  }
+
   test("declared sort order: writers cluster automatically, compact defaults to it") {
     import java.lang.Double.parseDouble
     val t = tmpTable()
@@ -837,8 +878,14 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.readIncremental(spark, t, 0, 1).count() == 4)
     val meta = java.nio.file.Paths.get(t, "_graft_meta", "snapshot-1.json")
     val js = java.nio.file.Files.readString(meta)
-    // simulate a pre-upgrade manifest: strip the seq field (parses as 0)
-    java.nio.file.Files.writeString(meta, js.replaceAll(""","seq":\d+""", ""))
+    val render = classOf[IcebergLite.type].getDeclaredMethods
+      .find(_.getName == "renderSnapshot").get
+    render.setAccessible(true)
+    // simulate a pre-upgrade snapshot: INLINE file list (manifests = Nil
+    // renders the legacy "files" form) with the seq field stripped
+    val inline1 = render.invoke(IcebergLite,
+      IcebergLite.parseSnapshot(js).copy(manifests = Nil)).asInstanceOf[String]
+    java.nio.file.Files.writeString(meta, inline1.replaceAll(""","seq":\d+""", ""))
     val e = intercept[IllegalArgumentException](IcebergLite.readIncremental(spark, t, 0, 1))
     assert(e.getMessage.contains("pre-upgrade"), e.getMessage)
     // full-range scan is still well-defined (seq 0 > -1 keeps every file)
@@ -851,9 +898,6 @@ class IcebergLiteSpec extends AnyFunSuite {
       java.nio.file.Paths.get(t, "_graft_meta", "snapshot-0.json"))
     val withDel = IcebergLite.parseSnapshot(snap0js)
       .copy(deletes = Seq(IcebergLite.DeleteEntry("/elsewhere.parquet", 2, Seq("k"))))
-    val render = classOf[IcebergLite.type].getDeclaredMethods
-      .find(_.getName == "renderSnapshot").get
-    render.setAccessible(true)
     java.nio.file.Files.writeString(meta, render.invoke(IcebergLite, forged).asInstanceOf[String])
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(t, "_graft_meta", "snapshot-0.json"),
