@@ -851,6 +851,19 @@ object IcebergLite {
     * ([[removeOrphanFiles]] reaps it). The returned snapshot's file order
     * is the canonical on-disk order (reused manifests first), so the value
     * a committer holds matches what every later parse reads. */
+  /** Manifests per snapshot before a full merge (Iceberg's
+    * `commit.manifest.min-count-to-merge`): bounds the snapshot's path
+    * list — without it the path list itself re-grows per commit and the
+    * metadata write is quadratic again, just with a smaller constant. */
+  private val ManifestMergeCount = 64
+
+  private def writeManifest(table: String, id: Long, entries: Seq[FileEntry]): String = {
+    val mf = metaDir(table).resolve(s"manifest-$id-${System.nanoTime()}.json")
+    Files.writeString(mf, entries.map(renderFileEntry).mkString("[", ",", "]"))
+    manifestCache.put(mf.toString, entries)
+    mf.toString
+  }
+
   private def persistSnapshot(table: String, snap: Snapshot): Snapshot = {
     val parentManifests = snapshotAt(table, snap.parent).map(_.manifests).getOrElse(Nil)
     val byKey = snap.files.map(f => f.path -> f).toMap
@@ -858,14 +871,17 @@ object IcebergLite {
       loadManifest(p).forall(e => byKey.get(e.path).contains(e)))
     val reusedPaths = reused.flatMap(loadManifest).map(_.path).toSet
     val remainder = snap.files.filterNot(f => reusedPaths.contains(f.path))
-    val refs = reused ++ (if (remainder.isEmpty) Nil else {
-      val mf = metaDir(table).resolve(s"manifest-${snap.id}-${System.nanoTime()}.json")
-      Files.writeString(mf, remainder.map(renderFileEntry).mkString("[", ",", "]"))
-      manifestCache.put(mf.toString, remainder)
-      Seq(mf.toString)
-    })
-    val canonical = snap.copy(files = reused.flatMap(loadManifest) ++ remainder,
-      manifests = refs)
+    val canonicalFiles = reused.flatMap(loadManifest) ++ remainder
+    // amortized manifest merge: one O(files) rewrite every ManifestMergeCount
+    // commits keeps the per-snapshot path list (and so the snapshot JSON)
+    // bounded; old manifests stay on disk for the snapshots that still
+    // reference them and expire with them
+    val refs =
+      if (reused.size >= ManifestMergeCount)
+        Seq(writeManifest(table, snap.id, canonicalFiles))
+      else reused ++ (if (remainder.isEmpty) Nil
+        else Seq(writeManifest(table, snap.id, remainder)))
+    val canonical = snap.copy(files = canonicalFiles, manifests = refs)
     Files.writeString(metaDir(table).resolve(s"snapshot-${snap.id}.json"),
       renderSnapshot(canonical))
     val tmp = metaDir(table).resolve("CURRENT.tmp")
