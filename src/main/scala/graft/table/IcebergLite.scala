@@ -592,6 +592,10 @@ object IcebergLite {
     // explicit clustering args win; otherwise the table's declared
     // SortOrder (setSortOrder) decides — compact is where per-batch write
     // clustering gets unified table-wide
+    require(snap.spec.isEmpty || (sortBy.isEmpty && zorderBy.isEmpty),
+      "a partitioned table's compact layout comes from its spec (+ declared " +
+        "SortOrder for within-partition clustering via setSortOrder); " +
+        "explicit sortBy/zorderBy would be silently ignored")
     val (effSort, effZ) =
       if (sortBy.nonEmpty || zorderBy.nonEmpty) (sortBy, zorderBy)
       else snap.order.map(o => if (o.zorder) (Nil, o.cols) else (o.cols, Nil))

@@ -154,4 +154,40 @@ class TableFollowSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, t2).count() == 30)
     assert(IcebergLite.snapshots(t1).size == 2 && IcebergLite.snapshots(t2).size == 1)
   }
+
+  test("streamed increments land in the target's GOVERNED layout: partition spec + sort order") {
+    // the consumer never writes layout code — the target table's declared
+    // spec and order shape every drained increment (writeDataSpec runs
+    // inside appendIdempotent), so a stream lands exactly like a batch
+    val root = tmp()
+    val src = root.resolve("src").toString
+    val tgt = root.resolve("tgt").toString
+    val cp = root.resolve("c.cp").toString
+    IcebergLite.createPartitioned(spark,
+      Seq((-1L, -1L, "seed")).toDF("k", "b", "v"), tgt,
+      Seq(IcebergLite.PartitionField("bb", "b", "bucket[4]")), Seq("k"), "c0")
+    IcebergLite.setSortOrder(tgt, Some(IcebergLite.SortOrder(Seq("k"))))
+    IcebergLite.append(spark,
+      (0L until 400L).map(i => (i * 7919 % 400, i % 11, s"a$i")).toDF("k", "b", "v")
+        .repartition(4, $"v"), src, Seq("k"), "c1")
+    Streams.drainTableIncrement(spark, src, cp) { (df, from, to) =>
+      IcebergLite.appendIdempotent(spark, df, tgt, Seq("k"), s"inc_${from}_$to")
+    }
+    val snap = IcebergLite.readSnapshot(tgt).get
+    val drained = snap.files.filter(_.seq == snap.id)
+    // spec applied: every drained file carries a bucket partition value
+    assert(drained.nonEmpty && drained.forall(_.partition.contains("bb")))
+    // order applied WITHIN partitions: per-file k ranges are tight, and
+    // files of the same bucket don't overlap on k
+    val byBucket = drained.groupBy(_.partition("bb"))
+    byBucket.values.foreach { fs =>
+      val rs = fs.map(f => (f.min("k").toDouble, f.max("k").toDouble)).sortBy(_._1)
+      rs.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap in $rs")
+        case _ => ()
+      }
+    }
+    // content exactly once, through the governed layout
+    assert(IcebergLite.read(spark, tgt).where($"k" >= 0).count() == 400)
+  }
 }
