@@ -123,7 +123,9 @@ object SparkEntry {
     "tbl_merge" -> ((s, d) => Relational.tblMerge(s, d)),
     "tbl_mor" -> ((s, d) => Relational.tblMor(s, d)),
     "tbl_incr" -> ((s, d) => Relational.tblIncr(s, d)),
+    "tbl_incr_where" -> ((s, d) => Relational.tblIncrWhere(s, d)),
     "tbl_travel" -> ((s, d) => Relational.tblTravel(s, d)),
+    "tbl_tag" -> ((s, d) => Relational.tblTag(s, d)),
     "str_incr" -> ((s, d) => Relational.strIncr(s, d)),
     // rediswq lease TTL lifecycle: lost leases requeue (stateful tracker
     // vs a lag()-replay DuckDB twin of the same state machine)
@@ -752,6 +754,18 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin,
     // time travel to the second commit: slices %11 = 0, 1 (commit 3 invisible)
     "tbl_travel" ->
+      """SELECT o_orderkey, o_custkey,
+        |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+        |FROM orders WHERE o_orderkey % 11 IN (0, 1)""".stripMargin,
+    // filtered incremental scan: the delta commits' rows, one region only
+    // (partition-pruned Spark-side; row-level filter in the oracle)
+    "tbl_incr_where" ->
+      """SELECT o_orderkey, o_custkey,
+        |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+        |FROM orders WHERE o_orderkey % 11 IN (1, 2) AND o_orderkey % 7 = 3""".stripMargin,
+    // tag time travel: the tagged (mid) snapshot = commits 1..2, readable
+    // by name after keepLast=1 retention expired the untagged history
+    "tbl_tag" ->
       """SELECT o_orderkey, o_custkey,
         |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
         |FROM orders WHERE o_orderkey % 11 IN (0, 1)""".stripMargin,
@@ -1861,6 +1875,71 @@ object Relational {
   def tblTravel(s: SparkSession, d: String): DataFrame = {
     val (table, ids) = stagedIncrTable(s, d)
     graft.table.IcebergLite.readAt(s, table, ids(1))
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** The partitioned twin of [[stagedIncrTable]]: same three disjoint
+    * `orders` slices, laid out under an identity partition spec on a
+    * derived `region` (o_orderkey % 7) so the filtered incremental scan
+    * has partition directories to prune. Crash-resumable like its twin. */
+  private def stagedIncrPartTable(s: SparkSession, d: String): (String, Seq[Long]) = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_incrw_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    def slice(m: Int) = t(s, d, "orders").where(col("o_orderkey") % 11 === m)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (col("o_orderkey") % 7).cast("int").as("region"))
+    if (IcebergLite.snapshots(table).isEmpty)
+      IcebergLite.createPartitioned(s, slice(0), table,
+        Seq(IcebergLite.PartitionField("region", "region", "identity")),
+        Seq("o_orderkey"), "base")
+    Seq(1, 2).zip(Seq("day1", "day2")).foreach { case (m, cid) =>
+      if (IcebergLite.snapshots(table).size <= m)
+        IcebergLite.append(s, slice(m), table, Seq("o_orderkey"), cid)
+    }
+    (table, IcebergLite.snapshots(table))
+  }
+
+  /** Filtered incremental scan: the `(base, day2]` delta of a partitioned
+    * table, pruned to one region's partition directories BEFORE any file
+    * opens ([[graft.table.IcebergLite.readIncrementalWhere]]) — the
+    * region-scoped-follower read path. The oracle is the same delta slice
+    * with the predicate applied row-level. */
+  def tblIncrWhere(s: SparkSession, d: String): DataFrame = {
+    val (table, ids) = stagedIncrPartTable(s, d)
+    graft.table.IcebergLite.readIncrementalWhere(s, table, ids.head, ids.last,
+      col("region") === 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** Named-tag time travel under retention (Iceberg tag refs): the staged
+    * table's mid snapshot is tagged, history behind it expires with
+    * keepLast=1, and only the tag's pin keeps the snapshot readable. Every
+    * step is idempotent (appendIdempotent ledger, atomic tag replace,
+    * re-expire finds nothing), so re-runs are metadata no-ops. */
+  def tblTag(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_tag_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    def slice(m: Int) = t(s, d, "orders").where(col("o_orderkey") % 11 === m)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Seq(0, 1, 2).zip(Seq("base", "day1", "day2")).foreach { case (m, cid) =>
+      IcebergLite.appendIdempotent(s, slice(m), table, Seq("o_orderkey"), cid)
+    }
+    val ids = IcebergLite.snapshots(table)
+    if (ids.size == 3) { // first run (pre-expire lineage intact)
+      IcebergLite.setTag(table, "release", ids(1))
+      IcebergLite.expireSnapshots(table, keepLast = 1)
+    }
+    IcebergLite.readTag(s, table, "release")
       .select(col("o_orderkey"), col("o_custkey"),
         floor(col("o_totalprice") * 100).as("price_c"))
   }

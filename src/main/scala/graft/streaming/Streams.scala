@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -336,7 +336,8 @@ object Streams {
    * from the new baseline.
    */
   def drainTableIncrement(spark: SparkSession, source: String, checkpointFile: String,
-                          registerAs: Option[String] = None, rebaseline: Boolean = false)
+                          registerAs: Option[String] = None, rebaseline: Boolean = false,
+                          predicate: Option[Column] = None)
                          (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val cp = Paths.get(checkpointFile)
@@ -370,16 +371,25 @@ object Streams {
     // the floor must be in place BEFORE the read: registering only after a
     // successful tick would leave the in-flight range expirable
     registerAs.foreach(n => graft.table.IcebergLite.registerConsumer(source, n, last))
+    // a filtered follower reads through readIncrementalWhere: partition /
+    // min-max / Bloom pruning selects the delta's matching FILES before
+    // anything opens, so a region-scoped consumer pays only its slice
+    def deltaOf(from: Long, to: Long): DataFrame = predicate match {
+      case Some(p) => graft.table.IcebergLite.readIncrementalWhere(spark, source, from, to, p)
+      case None => graft.table.IcebergLite.readIncremental(spark, source, from, to)
+    }
     val (df, from) =
-      try (graft.table.IcebergLite.readIncremental(spark, source, last, cur), last)
+      try (deltaOf(last, cur), last)
       catch {
         case e @ (_: IllegalStateException | _: IllegalArgumentException)
           if rebaseline && last >= 0 =>
           // range unreadable (expired past the checkpoint, or a replacing
           // commit in range): re-baseline on the live current snapshot —
-          // the pinned id itself may be among the expired
+          // the pinned id itself may be among the expired (the rare full
+          // rescan applies the predicate row-level only)
           cur = graft.table.IcebergLite.currentSnapshotId(source).getOrElse(throw e)
-          (graft.table.IcebergLite.readAt(spark, source, cur), -1L)
+          val full = graft.table.IcebergLite.readAt(spark, source, cur)
+          (predicate.fold(full)(full.where), -1L)
       }
     process(df, from, cur)
     writeAtomic(cp, cur.toString)

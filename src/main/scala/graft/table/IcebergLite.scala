@@ -187,6 +187,30 @@ object IcebergLite {
    */
   def readIncremental(spark: SparkSession, table: String,
                       fromId: Long, toId: Long): DataFrame = {
+    val (to, delta) = incrementalDelta(table, fromId, toId)
+    readFiles(spark, to, delta)
+  }
+
+  /** [[readIncremental]] with the same metadata pruning [[readWhere]] gives
+    * a full scan: the `(fromId, toId]` delta's FILE LIST is filtered through
+    * partition values, manifest min/max, and Bloom sidecars before anything
+    * opens — a follower subscribed to one region/key-range pays only that
+    * slice of each increment, not the whole append. The residual predicate
+    * still applies row-level, so results ≡
+    * `readIncremental(...).where(predicate)`. */
+  def readIncrementalWhere(spark: SparkSession, table: String,
+                           fromId: Long, toId: Long, predicate: Column): DataFrame = {
+    val (to, delta) = incrementalDelta(table, fromId, toId)
+    val b = extractBounds(spark, to, predicate)
+    val files = surviving(to.copy(files = delta), b.num, Map.empty, b.inNum, b.inStr,
+      b.str, partitionPrune(to, b)).filter(bloomKeeps(to, _, b))
+    readFiles(spark, to, files).where(predicate)
+  }
+
+  /** Validate that every snapshot in `(fromId, toId]` is row-additive and
+    * return `toId`'s snapshot plus the delta's file entries. */
+  private def incrementalDelta(table: String, fromId: Long,
+                               toId: Long): (Snapshot, Seq[FileEntry]) = {
     val to = snapshotAt(table, toId).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $toId in $table"))
     var cur = to
@@ -225,7 +249,7 @@ object IcebergLite {
         }
       }
     }
-    readFiles(spark, to, to.files.filter(f => f.seq > fromId && f.seq <= toId))
+    (to, to.files.filter(f => f.seq > fromId && f.seq <= toId))
   }
 
   /** Scan `files` under `snap`'s pinned schema, applying the snapshot's
@@ -1247,6 +1271,50 @@ object IcebergLite {
   def deregisterConsumer(table: String, name: String): Unit =
     Files.deleteIfExists(consumersDir(table).resolve(name))
 
+  // --- named tags (pinned time travel) ------------------------------------
+
+  private def tagsDir(table: String): Path = metaDir(table).resolve("tags")
+
+  /** Name a snapshot (Iceberg's tag refs): `readTag` resolves the name and
+    * [[expireSnapshots]] pins the tagged snapshot exactly — unlike a
+    * consumer's FLOOR, a tag protects only its own snapshot, so tagging a
+    * monthly release never blocks the history between releases from
+    * expiring. Re-tagging an existing name moves it (atomic replace). */
+  def setTag(table: String, name: String, snapshotId: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad tag name $name")
+    require(snapshotAt(table, snapshotId).isDefined,
+      s"no snapshot $snapshotId in $table to tag")
+    val d = tagsDir(table)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".$name.tmp")
+    Files.writeString(tmp, snapshotId.toString)
+    Files.move(tmp, d.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All tags and the snapshot ids they pin. */
+  def tags(table: String): Map[String, Long] = {
+    val d = tagsDir(table)
+    if (!Files.exists(d)) Map.empty
+    else {
+      val st = Files.list(d)
+      try st.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => p.getFileName.toString -> Files.readString(p).trim.toLong)
+        .toMap
+      finally st.close()
+    }
+  }
+
+  /** Drop a tag; its snapshot becomes expirable again. */
+  def dropTag(table: String, name: String): Unit =
+    Files.deleteIfExists(tagsDir(table).resolve(name))
+
+  /** Time travel by name: [[readAt]] of the tagged snapshot. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame =
+    readAt(spark, table, tags(table).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag $name in $table")))
+
   /**
    * Snapshot retention (Iceberg's `expire_snapshots`): drop all but the
    * last `keepLast` snapshots and DELETE every data/delete file referenced
@@ -1257,6 +1325,9 @@ object IcebergLite {
    * Registered consumers ([[registerConsumer]]) raise a retention floor:
    * snapshots at or above the minimum registered position are NEVER
    * expired, so a follower's next [[readIncremental]] stays readable.
+   * Tagged snapshots ([[setTag]]) are pinned individually — a tag keeps
+   * exactly its snapshot (and, through the reference set, its files) while
+   * untagged history around it still expires.
    * Idempotent and crash-safe: a crash mid-delete leaves orphaned files
    * that nothing references, and a re-run re-reaps them. Returns
    * (expired snapshot ids, deleted file count).
@@ -1265,7 +1336,9 @@ object IcebergLite {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots(table)
     val floor = consumers(table).values.minOption
-    val expired = all.dropRight(keepLast).filter(id => floor.forall(id < _))
+    val pinned = tags(table).values.toSet
+    val expired = all.dropRight(keepLast)
+      .filter(id => floor.forall(id < _) && !pinned.contains(id))
     val kept = all.filterNot(expired.contains)
     if (expired.isEmpty) return (Nil, 0)
     val keptSnaps = kept.flatMap(snapshotAt(table, _))

@@ -155,6 +155,35 @@ class TableFollowSpec extends AnyFunSuite {
     assert(IcebergLite.snapshots(t1).size == 2 && IcebergLite.snapshots(t2).size == 1)
   }
 
+  test("filtered follower: predicate prunes each increment to its partition's files, exactly once") {
+    val root = tmp()
+    val src = root.resolve("src").toString
+    val tgt = root.resolve("tgt").toString
+    val cp = root.resolve("c.cp").toString
+    def batch(tag: String, lo: Long) =
+      (lo until lo + 30L).map(i =>
+        (i, Seq("east", "west", "north")(((i - lo) / 10L).toInt), s"$tag$i")).toDF("k", "r", "v")
+    IcebergLite.createPartitioned(spark, batch("a", 0L), src,
+      Seq(IcebergLite.PartitionField("r", "r", "identity")), Seq("k"), "c0")
+    var opened = Seq.empty[String]
+    def drain() = Streams.drainTableIncrement(spark, src, cp,
+      predicate = Some($"r" === "east")) { (df, from, to) =>
+      opened = df.inputFiles.toSeq
+      IcebergLite.appendIdempotent(spark, df, tgt, Seq("k"), s"inc_${from}_$to")
+    }
+    assert(drain().contains((-1L, 0L)))
+    // the delivered frame opened ONLY the east partition's files
+    assert(opened.nonEmpty && opened.forall(_.contains("p_r=east")), opened.mkString(","))
+    assert(IcebergLite.read(spark, tgt).count() == 10)
+    IcebergLite.append(spark, batch("b", 100L), src, Seq("k"), "c1")
+    assert(drain().contains((0L, 1L)))
+    assert(opened.nonEmpty && opened.forall(p => p.contains("/data/c1/") && p.contains("p_r=east")))
+    // cumulative exactly-once on the filtered slice
+    val got = IcebergLite.read(spark, tgt)
+    assert(got.count() == 20 && got.where($"r" =!= "east").count() == 0)
+    assert(got.agg(sum($"k")).as[Long].head() == (0L until 10L).sum + (100L until 110L).sum)
+  }
+
   test("streamed increments land in the target's GOVERNED layout: partition spec + sort order") {
     // the consumer never writes layout code — the target table's declared
     // spec and order shape every drained increment (writeDataSpec runs

@@ -1045,6 +1045,54 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(lock), "winner must release the broken lock")
   }
 
+  test("readIncrementalWhere: delta files pruned by partition value before opening") {
+    val t = tmpTable()
+    def batch(tag: String, lo: Long) =
+      (lo until lo + 40L).map(i => (i, Seq("east", "west", "north", "south")(((i - lo) / 10L).toInt), s"$tag$i"))
+        .toDF("k", "r", "v")
+    val s0 = IcebergLite.createPartitioned(spark, batch("a", 0L), t,
+      Seq(IcebergLite.PartitionField("r", "r", "identity")), Seq("k"), "c0")
+    IcebergLite.append(spark, batch("b", 100L), t, Seq("k"), "c1")
+    val s2 = IcebergLite.append(spark, batch("c", 200L), t, Seq("k"), "c2")
+    val q = IcebergLite.readIncrementalWhere(spark, t, s0.id, s2.id, $"r" === "east")
+    // only the two delta commits' east partition opens — never c0, never
+    // another region's directory
+    assert(q.inputFiles.nonEmpty && q.inputFiles.forall(p =>
+      (p.contains("/data/c1/") || p.contains("/data/c2/")) && p.contains("p_r=east")),
+      q.inputFiles.mkString(","))
+    // results ≡ the unpruned incremental scan with a row-level filter
+    assert(q.count() == 20)
+    assert(q.agg(min($"k"), max($"k")).as[(Long, Long)].head() == ((100L, 209L)))
+    // stats pruning composes: a k-range covering one commit opens one file
+    val q2 = IcebergLite.readIncrementalWhere(spark, t, s0.id, s2.id,
+      $"r" === "east" && $"k" < 150L)
+    assert(q2.inputFiles.forall(p => p.contains("/data/c1/") && p.contains("p_r=east")))
+    assert(q2.count() == 10)
+  }
+
+  test("tags pin snapshots through expireSnapshots; readTag time-travels by name") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 20L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    val s1 = IcebergLite.append(spark,
+      (20L until 40L).map(i => (i, s"b$i")).toDF("k", "v"), t, Seq("k"), "c2")
+    IcebergLite.setTag(t, "v1", s1.id)
+    assertThrows[IllegalArgumentException](IcebergLite.setTag(t, "ghost", 99L))
+    IcebergLite.append(spark, (40L until 50L).map(i => (i, s"c$i")).toDF("k", "v"), t, Seq("k"), "c3")
+    IcebergLite.compact(spark, t, Seq("k"), "comp1") // strands pre-compact files
+    val (expired, _) = IcebergLite.expireSnapshots(t, keepLast = 1)
+    // untagged history around the tag expires; the tagged snapshot survives
+    assert(!expired.contains(s1.id) && expired.nonEmpty)
+    val tagged = IcebergLite.readTag(spark, t, "v1")
+    assert(tagged.count() == 40 && tagged.agg(max($"k")).as[Long].head() == 39L)
+    // dropping the tag releases the pin: the snapshot (and its last files)
+    // expire on the next pass, and the name stops resolving
+    IcebergLite.dropTag(t, "v1")
+    val (expired2, _) = IcebergLite.expireSnapshots(t, keepLast = 1)
+    assert(expired2.contains(s1.id))
+    assertThrows[IllegalArgumentException](IcebergLite.readTag(spark, t, "v1"))
+    assert(IcebergLite.read(spark, t).count() == 50) // live table untouched
+  }
+
   test("snapshot JSON roundtrip") {
     val s = IcebergLite.Snapshot(3, 2, """{"type":"struct"}""",
       Seq(IcebergLite.FileEntry("/a/b \"q\".parquet", 10,
