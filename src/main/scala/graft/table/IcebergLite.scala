@@ -1315,6 +1315,17 @@ object IcebergLite {
     readAt(spark, table, tags(table).getOrElse(name,
       throw new IllegalArgumentException(s"no tag $name in $table")))
 
+  /** Exact row count from manifest metadata alone — zero files opened, the
+    * `SELECT count(*)` short-circuit every table format's snapshot summary
+    * exists for. `None` when pending equality deletes ([[mergeOnRead]])
+    * make the per-file counts an overcount; [[compact]] (or any
+    * [[maintain]] tick that triggers it) restores the fast path. */
+  def rowCount(table: String): Option[Long] = {
+    val snap = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    if (snap.deletes.nonEmpty) None else Some(snap.files.map(_.rows).sum)
+  }
+
   /**
    * Snapshot retention (Iceberg's `expire_snapshots`): drop all but the
    * last `keepLast` snapshots and DELETE every data/delete file referenced

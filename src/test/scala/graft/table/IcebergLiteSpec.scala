@@ -1093,6 +1093,19 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, t).count() == 50) // live table untouched
   }
 
+  test("rowCount answers from metadata; refuses while MoR deletes pend; compact restores") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 25L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    IcebergLite.append(spark, (25L until 60L).map(i => (i, s"b$i")).toDF("k", "v"), t, Seq("k"), "c2")
+    assert(IcebergLite.rowCount(t).contains(60L))
+    // pending equality deletes make per-file counts an overcount: refuse
+    IcebergLite.mergeOnRead(spark, t, Seq((5L, "M5")).toDF("k", "v"), Seq("k"), Seq("k"), "m1")
+    assert(IcebergLite.rowCount(t).isEmpty)
+    assert(IcebergLite.read(spark, t).count() == 60) // scan stays exact
+    IcebergLite.compact(spark, t, Seq("k"), "cc")
+    assert(IcebergLite.rowCount(t).contains(60L))
+  }
+
   test("snapshot JSON roundtrip") {
     val s = IcebergLite.Snapshot(3, 2, """{"type":"struct"}""",
       Seq(IcebergLite.FileEntry("/a/b \"q\".parquet", 10,
