@@ -159,6 +159,19 @@ object Plans {
         "commit seq; the base commit's files are not opened or listed",
       capture(graft.table.IcebergLite.readIncremental(spark, incrTbl, s0.id, s1.id))))
 
+    // filtered incremental scan: delta selection AND partition/stats/bloom
+    // pruning both happen in metadata — the plan scans only the delta's
+    // matching files, then applies the residual predicate
+    sections += (("filtered incremental scan (tbl_incr_where's readIncrementalWhere)",
+      "a region-scoped follower's tick: the (from, to] delta's file list " +
+        "is pruned by partition value / min-max / Bloom BEFORE anything " +
+        "opens, so the scan holds only the delta∩predicate files and the " +
+        "residual filter is the only per-row work — at 100 TB a follower " +
+        "subscribed to one region pays that region's slice of each " +
+        "increment, not the append",
+      capture(graft.table.IcebergLite.readIncrementalWhere(spark, incrTbl,
+        s0.id, s1.id, col("o_orderkey") < 1000L))))
+
     sections += (("session windows (str_sessions)",
       "gap-merge runs inside the aggregate: one keyed shuffle on the group " +
         "key, session assembly map-side per key — no window-function " +
