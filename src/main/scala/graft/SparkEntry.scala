@@ -126,6 +126,7 @@ object SparkEntry {
     "tbl_incr_where" -> ((s, d) => Relational.tblIncrWhere(s, d)),
     "tbl_travel" -> ((s, d) => Relational.tblTravel(s, d)),
     "tbl_tag" -> ((s, d) => Relational.tblTag(s, d)),
+    "tbl_wap" -> ((s, d) => Relational.tblWap(s, d)),
     "str_incr" -> ((s, d) => Relational.strIncr(s, d)),
     // rediswq lease TTL lifecycle: lost leases requeue (stateful tracker
     // vs a lag()-replay DuckDB twin of the same state machine)
@@ -763,6 +764,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey,
         |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
         |FROM orders WHERE o_orderkey % 11 IN (1, 2) AND o_orderkey % 7 = 3""".stripMargin,
+    // write-audit-publish: main after the atomic fast-forward = base +
+    // both staged increments (invisible to main readers until publish)
+    "tbl_wap" ->
+      """SELECT o_orderkey, o_custkey,
+        |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+        |FROM orders WHERE o_orderkey % 11 IN (0, 1, 2)""".stripMargin,
     // tag time travel: the tagged (mid) snapshot = commits 1..2, readable
     // by name after keepLast=1 retention expired the untagged history
     "tbl_tag" ->
@@ -1915,6 +1922,45 @@ object Relational {
       col("region") === 3)
       .select(col("o_orderkey"), col("o_custkey"),
         floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** Write-audit-publish through a writable branch (Iceberg branch refs):
+    * two increments are STAGED on an audit branch (main readers never see
+    * them — asserted in the query itself), audited via readBranch, then
+    * published atomically with fastForward; the branch is dropped after.
+    * Every step is crash-resumable: staging is keyed on the branch ledger,
+    * re-runs after publish detect the main ledger and skip straight to the
+    * read. The oracle is the union of all three slices — what main shows
+    * only AFTER the publish. */
+  def tblWap(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_wap_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    def slice(m: Int) = t(s, d, "orders").where(col("o_orderkey") % 11 === m)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    if (IcebergLite.snapshots(table).isEmpty)
+      IcebergLite.append(s, slice(0), table, Seq("o_orderkey"), "base")
+    if (!IcebergLite.alreadyCommitted(table, "w2")) { // not yet published
+      if (!IcebergLite.branches(table).contains("audit"))
+        IcebergLite.createBranch(table, "audit")
+      def headLedger = IcebergLite.snapshotAt(table,
+        IcebergLite.branches(table)("audit")).map(_.commitIds)
+        .getOrElse(Set.empty[String])
+      if (!headLedger.contains("w1"))
+        IcebergLite.appendToBranch(s, slice(1), table, "audit", Seq("o_orderkey"), "w1")
+      if (!headLedger.contains("w2"))
+        IcebergLite.appendToBranch(s, slice(2), table, "audit", Seq("o_orderkey"), "w2")
+      // audit: staged rows visible on the branch, invisible on main
+      require(IcebergLite.readBranch(s, table, "audit").count() >
+        IcebergLite.read(s, table).count(), "staged rows leaked to main")
+      IcebergLite.fastForward(table, "audit")
+    }
+    IcebergLite.dropBranch(table, "audit") // deleteIfExists semantics
+    IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).as("price_c"))
   }
 
   /** Named-tag time travel under retention (Iceberg tag refs): the staged

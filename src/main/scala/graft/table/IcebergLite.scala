@@ -446,9 +446,24 @@ object IcebergLite {
 
   private def writeDataSpec(df: DataFrame, table: String, commitId: String,
                             spec: Seq[PartitionField],
-                            applyOrder: Boolean = true): Unit = {
+                            applyOrder: Boolean = true,
+                            snapOverride: Option[Snapshot] = None): Unit = {
     val dir = Paths.get(table, "data", commitId).toString
-    val snap = readSnapshot(table)
+    // cross-lineage collision guard: data/<commitId>/ is one namespace, so
+    // while branches are staged a commitId already on SOME branch's ledger
+    // must not be written again from anywhere — mode(overwrite) would
+    // clobber that lineage's committed files. Zero cost when no branch
+    // exists; writers on a branch pre-check their own ledger and refuse
+    // before reaching here ([[appendToBranch]]).
+    branches(table).foreach { case (b, hid) =>
+      snapshotAt(table, hid).foreach { h =>
+        require(!h.commitIds.contains(commitId),
+          s"commitId $commitId is already committed on branch $b of $table " +
+            "(or its fork history); publish or drop the branch, or use a " +
+            "different commitId")
+      }
+    }
+    val snap = snapOverride.orElse(readSnapshot(table))
     val physFn = snap.map(s => s.physical _).getOrElse(identity[String] _)
     val phys = toPhysical(df, table)
     val order = if (applyOrder) snap.flatMap(_.order) else None
@@ -689,7 +704,8 @@ object IcebergLite {
                     autoStats: Boolean = true,
                     specOverride: Option[Seq[PartitionField]] = None,
                     basedOn: Option[Snapshot] = None,
-                    bloomCols: Seq[String] = Nil): Snapshot = {
+                    bloomCols: Seq[String] = Nil,
+                    toBranch: Option[String] = None): Snapshot = {
     val dataDir = Paths.get(table, "data", commitId)
     // `basedOn` pins the snapshot an operation PLANNED against (merge's
     // file pruning, compact's self-read): building the commit from any
@@ -832,7 +848,8 @@ object IcebergLite {
       }
     commitSnapshot(table, Snapshot(parent + 1, parent, schemaJson,
       prevFiles ++ carryFiles ++ entries, prev.map(_.renames).getOrElse(Map.empty),
-      prevDeletes ++ carryDeletes, ledger, spec, prev.flatMap(_.order)), rebase)
+      prevDeletes ++ carryDeletes, ledger, spec, prev.flatMap(_.order)),
+      rebase, toBranch)
   }
 
   /** A commit found the table advanced past the snapshot it was computed
@@ -892,7 +909,8 @@ object IcebergLite {
     mf.toString
   }
 
-  private def persistSnapshot(table: String, snap: Snapshot): Snapshot = {
+  private def persistSnapshot(table: String, snap: Snapshot,
+                              pointerFile: Option[Path] = None): Snapshot = {
     val parentManifests = snapshotAt(table, snap.parent).map(_.manifests).getOrElse(Nil)
     val byKey = snap.files.map(f => f.path -> f).toMap
     val reused = parentManifests.filter(p =>
@@ -912,9 +930,12 @@ object IcebergLite {
     val canonical = snap.copy(files = canonicalFiles, manifests = refs)
     Files.writeString(metaDir(table).resolve(s"snapshot-${snap.id}.json"),
       renderSnapshot(canonical))
-    val tmp = metaDir(table).resolve("CURRENT.tmp")
+    val pointer = pointerFile.getOrElse(metaDir(table).resolve("CURRENT"))
+    if (pointer.getParent != null) Files.createDirectories(pointer.getParent)
+    // dotted tmp name: a crash-orphaned tmp must not be listed as a branch
+    val tmp = pointer.resolveSibling("." + pointer.getFileName.toString + ".tmp")
     Files.writeString(tmp, snap.id.toString)
-    Files.move(tmp, metaDir(table).resolve("CURRENT"),
+    Files.move(tmp, pointer,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     canonical
   }
@@ -928,17 +949,44 @@ object IcebergLite {
     * racing idempotent replay); otherwise the commit fails loudly with
     * [[CommitConflictException]] and the caller re-runs. */
   private def commitSnapshot(table: String, snap: Snapshot,
-                             rebase: Snapshot => Option[Snapshot] = null): Snapshot =
+                             rebase: Snapshot => Option[Snapshot] = null,
+                             toBranch: Option[String] = None): Snapshot =
     withCommitLock(table) {
-      val cur = readSnapshot(table)
-      val curId = cur.map(_.id).getOrElse(-1L)
-      if (curId == snap.parent) persistSnapshot(table, snap)
-      else if (rebase != null) rebase(cur.get) match {
-        case Some(s) => persistSnapshot(table, s)
-        case None => cur.get
+      // snapshot ids are allocated TABLE-GLOBALLY fresh under the lock:
+      // while a branch is staged, parent+1 on either lineage could collide
+      // with the other's existing snapshot file (main at 2 + staged 3 →
+      // a main commit must take 4, not overwrite 3). The commit's NEW file
+      // entries are stamped seq = snap.id by the builder, so they remap
+      // with the id.
+      def persistFresh(s: Snapshot, pointer: Option[Path]): Snapshot = {
+        val fresh = snapshots(table).lastOption.map(_ + 1L).getOrElse(0L)
+        val out = if (fresh == s.id) s else s.copy(id = fresh,
+          files = s.files.map(f => if (f.seq == s.id) f.copy(seq = fresh) else f),
+          deletes = s.deletes.map(d => if (d.seq == s.id) d.copy(seq = fresh) else d))
+        persistSnapshot(table, out, pointer)
       }
-      else throw new CommitConflictException(
-        s"$table advanced to snapshot $curId while committing against ${snap.parent}; re-run")
+      toBranch match {
+        case Some(b) =>
+          // branch commits CAS the BRANCH pointer, never CURRENT; no
+          // mechanical rebase — staging branches are single-writer,
+          // conflicts are loud
+          val headId = branches(table).getOrElse(b,
+            throw new IllegalArgumentException(s"no branch $b in $table"))
+          if (headId != snap.parent) throw new CommitConflictException(
+            s"branch $b of $table advanced to $headId while committing " +
+              s"against ${snap.parent}; re-run")
+          persistFresh(snap, Some(branchesDir(table).resolve(b)))
+        case None =>
+          val cur = readSnapshot(table)
+          val curId = cur.map(_.id).getOrElse(-1L)
+          if (curId == snap.parent) persistFresh(snap, None)
+          else if (rebase != null) rebase(cur.get) match {
+            case Some(s) => persistFresh(s, None)
+            case None => cur.get
+          }
+          else throw new CommitConflictException(
+            s"$table advanced to snapshot $curId while committing against ${snap.parent}; re-run")
+      }
     }
 
   /** Re-run `body` when a concurrent commit invalidated its snapshot read —
@@ -1315,6 +1363,113 @@ object IcebergLite {
     readAt(spark, table, tags(table).getOrElse(name,
       throw new IllegalArgumentException(s"no tag $name in $table")))
 
+  // --- branches (write-audit-publish) -------------------------------------
+
+  private def branchesDir(table: String): Path = metaDir(table).resolve("branches")
+
+  /** Fork a writable branch at `fromId` (default: the current snapshot) —
+    * Iceberg branch refs, here as the write-audit-publish primitive: stage
+    * commits on the branch with [[appendToBranch]], audit them with
+    * [[readBranch]] (or any validation over it), then publish atomically
+    * with [[fastForward]]. Main readers never see staged data; an abandoned
+    * branch is just [[dropBranch]] + the orphan sweep. Branch heads pin
+    * their snapshot against [[expireSnapshots]] like tags do. */
+  def createBranch(table: String, name: String, fromId: Long = -1L): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad branch name $name")
+    val id = if (fromId >= 0L) fromId else currentSnapshotId(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(snapshotAt(table, id).isDefined, s"no snapshot $id in $table to branch from")
+    require(!branches(table).contains(name), s"branch $name already exists in $table")
+    val d = branchesDir(table)
+    Files.createDirectories(d)
+    val tmp = d.resolve(s".$name.tmp")
+    Files.writeString(tmp, id.toString)
+    Files.move(tmp, d.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All branches and their head snapshot ids. */
+  def branches(table: String): Map[String, Long] = {
+    val d = branchesDir(table)
+    if (!Files.exists(d)) Map.empty
+    else {
+      val st = Files.list(d)
+      try st.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => p.getFileName.toString -> Files.readString(p).trim.toLong)
+        .toMap
+      finally st.close()
+    }
+  }
+
+  /** Abandon a branch; its staged snapshots stop being pinned (retention
+    * and the orphan sweep reclaim them on their own schedules). */
+  def dropBranch(table: String, name: String): Unit =
+    Files.deleteIfExists(branchesDir(table).resolve(name))
+
+  /** The audit read: the branch head's full state (fork-point data plus
+    * everything staged since). */
+  def readBranch(spark: SparkSession, table: String, name: String): DataFrame =
+    readAt(spark, table, branches(table).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch $name in $table")))
+
+  /** [[append]] onto a branch: same schema check, layout (the branch
+    * lineage's spec + declared SortOrder), stats, and commit protocol, but
+    * the snapshot's parent is the BRANCH head and the commit CASes the
+    * branch pointer — CURRENT (what main readers see) never moves. Staged
+    * snapshot ids are allocated table-globally under the commit lock, so
+    * concurrent main commits can never collide with staged ones. Branches
+    * are single-writer staging areas: a concurrent branch advance conflicts
+    * loudly (no mechanical rebase), and a reused commitId is refused
+    * against the branch lineage's ledger. */
+  def appendToBranch(spark: SparkSession, df: DataFrame, table: String,
+                     branch: String, statsCols: Seq[String],
+                     commitId: String): Snapshot = {
+    val headId = branches(table).getOrElse(branch,
+      throw new IllegalArgumentException(s"no branch $branch in $table"))
+    val head = snapshotAt(table, headId).getOrElse(throw new IllegalStateException(
+      s"branch $branch head $headId of $table is missing (expired?)"))
+    val ledger =
+      if (head.commitIds.nonEmpty) head.commitIds else historicalCommitIds(table)
+    require(!ledger.contains(commitId),
+      s"commitId $commitId already committed on $table's $branch lineage")
+    val pinned = org.apache.spark.sql.types.DataType.fromJson(head.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val aligned = alignToSchema(df, pinned, table, s"appendToBranch($branch)")
+    writeDataSpec(aligned, table, commitId, head.spec, snapOverride = Some(head))
+    commitWritten(spark, head.schemaJson, table, statsCols, commitId,
+      basedOn = Some(head), toBranch = Some(branch))
+  }
+
+  /** Publish: atomically move CURRENT to the branch head. Legal only while
+    * the current snapshot is still an ancestor of the head (nothing
+    * published since the fork) — otherwise the swap would silently drop
+    * main's newer commits, so it conflicts loudly and the caller re-stages.
+    * The branch pointer survives (drop it when done); re-running after
+    * success is a no-op swap to the same id. */
+  def fastForward(table: String, branch: String): Snapshot = withCommitLock(table) {
+    val headId = branches(table).getOrElse(branch,
+      throw new IllegalArgumentException(s"no branch $branch in $table"))
+    val head = snapshotAt(table, headId).getOrElse(throw new IllegalStateException(
+      s"branch $branch head $headId of $table is missing (expired?)"))
+    val cur = readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    var p = head
+    while (p.id != cur.id && p.parent >= 0L)
+      p = snapshotAt(table, p.parent).getOrElse(throw new IllegalStateException(
+        s"snapshot ${p.parent} of $table is missing (expired?) - " +
+          s"branch $branch lineage unverifiable"))
+    if (p.id != cur.id) throw new CommitConflictException(
+      s"$table advanced past branch $branch's fork point (current ${cur.id} " +
+        s"not on the branch lineage); re-stage against the new current and re-run")
+    val cf = metaDir(table).resolve("CURRENT")
+    val tmp = cf.resolveSibling(".CURRENT.tmp")
+    Files.writeString(tmp, headId.toString)
+    Files.move(tmp, cf,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    head
+  }
+
   /** Exact row count from manifest metadata alone — zero files opened, the
     * `SELECT count(*)` short-circuit every table format's snapshot summary
     * exists for. `None` when pending equality deletes ([[mergeOnRead]])
@@ -1347,7 +1502,7 @@ object IcebergLite {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots(table)
     val floor = consumers(table).values.minOption
-    val pinned = tags(table).values.toSet
+    val pinned = tags(table).values.toSet ++ branches(table).values
     val expired = all.dropRight(keepLast)
       .filter(id => floor.forall(id < _) && !pinned.contains(id))
     val kept = all.filterNot(expired.contains)
