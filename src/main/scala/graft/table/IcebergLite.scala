@@ -1483,8 +1483,9 @@ object IcebergLite {
 
   /**
    * Snapshot retention (Iceberg's `expire_snapshots`): drop all but the
-   * last `keepLast` snapshots and DELETE every data/delete file referenced
-   * only by the expired ones. This is the bound on the time-travel window —
+   * newest `keepLast` snapshots of the CURRENT lineage and DELETE every
+   * data/delete file referenced only by the expired ones. This is the
+   * bound on the time-travel window —
    * without it a 100 TB table's storage grows with every replacing commit
    * forever (compaction/merge keep old files alive purely for history).
    * Expired snapshot ids stop time-traveling; kept ones are untouched.
@@ -1493,7 +1494,10 @@ object IcebergLite {
    * expired, so a follower's next [[readIncremental]] stays readable.
    * Tagged snapshots ([[setTag]]) are pinned individually — a tag keeps
    * exactly its snapshot (and, through the reference set, its files) while
-   * untagged history around it still expires.
+   * untagged history around it still expires. Live branches pin their FULL
+   * lineage (staged snapshots plus the history [[fastForward]]'s ancestor
+   * walk crosses); a dropped branch's snapshots become unreachable and
+   * expire on the next pass whatever their ids.
    * Idempotent and crash-safe: a crash mid-delete leaves orphaned files
    * that nothing references, and a re-run re-reaps them. Returns
    * (expired snapshot ids, deleted file count).
@@ -1502,9 +1506,29 @@ object IcebergLite {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots(table)
     val floor = consumers(table).values.minOption
-    val pinned = tags(table).values.toSet ++ branches(table).values
-    val expired = all.dropRight(keepLast)
-      .filter(id => floor.forall(id < _) && !pinned.contains(id))
+    def lineage(from: Long): Set[Long] = {
+      var out = Set.empty[Long]
+      var id = from
+      while (id >= 0 && !out.contains(id)) {
+        out += id
+        id = snapshotAt(table, id).map(_.parent).getOrElse(-1L)
+      }
+      out
+    }
+    // Retention is REACHABILITY-based, not id-window-based: keep the newest
+    // keepLast snapshots OF THE CURRENT LINEAGE, every tagged snapshot, and
+    // every live branch's full lineage (fastForward's ancestor walk needs
+    // it). An ABANDONED branch's snapshots are expirable whatever their
+    // ids — a plain "keep the newest N ids" would let a dropped branch's
+    // high ids occupy the keep window forever and could even expire the
+    // CURRENT snapshot itself (dangling pointer). On linear histories this
+    // is exactly the old keep-last-N behavior.
+    val curKeep = currentSnapshotId(table)
+      .map(c => lineage(c).toSeq.sorted.takeRight(keepLast).toSet)
+      .getOrElse(Set.empty[Long])
+    val keepSet = curKeep ++ tags(table).values ++
+      branches(table).values.flatMap(lineage)
+    val expired = all.filterNot(keepSet.contains).filter(id => floor.forall(id < _))
     val kept = all.filterNot(expired.contains)
     if (expired.isEmpty) return (Nil, 0)
     val keptSnaps = kept.flatMap(snapshotAt(table, _))

@@ -107,4 +107,25 @@ class BranchSpec extends AnyFunSuite {
     val (expired2, _) = IcebergLite.expireSnapshots(t, keepLast = 1)
     assert(expired2.contains(headId))
   }
+
+  test("abandoned branch can never evict CURRENT: retention is reachability-based") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    IcebergLite.createBranch(t, "dead")
+    // two staged commits take the table's HIGHEST snapshot ids
+    IcebergLite.appendToBranch(spark,
+      (10L until 20L).map(i => (i, s"s$i")).toDF("k", "v"), t, "dead", Seq("k"), "w1")
+    val deadHead = IcebergLite.appendToBranch(spark,
+      (20L until 30L).map(i => (i, s"s$i")).toDF("k", "v"), t, "dead", Seq("k"), "w2")
+    val cur = IcebergLite.currentSnapshotId(t).get
+    assert(deadHead.id > cur) // the hazard: newest ids are NOT the live ones
+    IcebergLite.dropBranch(t, "dead")
+    val (expired, _) = IcebergLite.expireSnapshots(t, keepLast = 1)
+    // an id-window policy would keep the abandoned tip and expire CURRENT
+    // (dangling pointer); reachability expires the abandoned lineage instead
+    assert(!expired.contains(cur) && expired.contains(deadHead.id))
+    assert(IcebergLite.currentSnapshotId(t).contains(cur))
+    assert(IcebergLite.read(spark, t).count() == 10)
+    assertThrows[IllegalArgumentException](IcebergLite.readAt(spark, t, deadHead.id))
+  }
 }
