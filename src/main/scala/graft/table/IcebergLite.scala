@@ -1645,7 +1645,11 @@ object IcebergLite {
     * that restores the table to snapshot `id`'s exact state (files, schema,
     * renames, pending deletes) under a NEW snapshot id — history is never
     * rewritten, so the rolled-back-over snapshots still time-travel and a
-    * second rollback can restore them. O(1) at any table size. */
+    * second rollback can restore them. O(1) at any table size. `id` may be
+    * ANY retained snapshot — Iceberg's `set_current_snapshot` semantics —
+    * including a tagged restore point whose intermediate lineage has
+    * expired, or (explicitly, as an admin override) a staged branch
+    * snapshot; the guarded publish path for branches is [[fastForward]]. */
   def rollbackTo(table: String, id: Long): Snapshot = retryOnConflict() {
     val target = snapshotAt(table, id).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $id in $table"))
