@@ -108,6 +108,43 @@ class BranchSpec extends AnyFunSuite {
     assert(expired2.contains(headId))
   }
 
+  test("branch and main commits racing in parallel: unique ids, both lineages intact") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c0")
+    IcebergLite.createBranch(t, "stage")
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 4 main writers (rebasing appends) race 1 branch writer (branches
+      // are single-writer by contract, so one staging thread of 3 commits)
+      val mains = (0 until 4).map { i => Future {
+        IcebergLite.append(spark,
+          spark.range(100 + i * 10, 110 + i * 10).selectExpr("id AS k", "concat('m', id) AS v"),
+          t, Seq("k"), s"main$i")
+      }}
+      val stager = Future {
+        (0 until 3).foreach { j =>
+          IcebergLite.appendToBranch(spark,
+            spark.range(1000 + j * 10, 1010 + j * 10).selectExpr("id AS k", "concat('s', id) AS v"),
+            t, "stage", Seq("k"), s"stage$j")
+        }
+      }
+      Await.result(Future.sequence(mains :+ stager), 120.seconds)
+    } finally pool.shutdown()
+    // every snapshot id unique (global allocation), lineages disjoint
+    val ids = IcebergLite.snapshots(t)
+    assert(ids.distinct.size == ids.size && ids.size == 8) // c0 + 4 main + 3 staged
+    val main = IcebergLite.read(spark, t)
+    assert(main.count() == 50 && main.where($"k" >= 1000L).count() == 0)
+    val branch = IcebergLite.readBranch(spark, t, "stage")
+    assert(branch.count() == 40 && branch.where($"k" >= 100L && $"k" < 1000L).count() == 0)
+    // the branch forked before the racing main commits: not fast-forwardable
+    assertThrows[IcebergLite.CommitConflictException](IcebergLite.fastForward(t, "stage"))
+  }
+
   test("abandoned branch can never evict CURRENT: retention is reachability-based") {
     val t = tmpTable()
     IcebergLite.append(spark, (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
