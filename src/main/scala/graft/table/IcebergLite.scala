@@ -1737,9 +1737,22 @@ object IcebergLite {
    * expressions) simply contributes no pruning — results are always the
    * plain `read(...).where(predicate)`.
    */
-  def readWhere(spark: SparkSession, table: String, predicate: Column): DataFrame = {
-    val snap = readSnapshot(table).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot in $table"))
+  def readWhere(spark: SparkSession, table: String, predicate: Column): DataFrame =
+    readWhereSnap(spark, table, readSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table")), predicate)
+
+  /** [[readWhere]] at a retained historical snapshot — pruned time travel
+    * (a tagged release + an AOI/key predicate opens only that release's
+    * matching files). The snapshot's own manifest stats, partition values,
+    * and Bloom sidecars drive the pruning, so a historical read scales the
+    * same way a current one does. */
+  def readWhereAt(spark: SparkSession, table: String, id: Long,
+                  predicate: Column): DataFrame =
+    readWhereSnap(spark, table, snapshotAt(table, id).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $id in $table")), predicate)
+
+  private def readWhereSnap(spark: SparkSession, table: String, snap: Snapshot,
+                            predicate: Column): DataFrame = {
     val b = extractBounds(spark, snap, predicate)
     val files = surviving(snap, b.num, Map.empty, b.inNum, b.inStr, b.str,
       partitionPrune(snap, b)).filter(bloomKeeps(snap, _, b))

@@ -1106,6 +1106,41 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.rowCount(t).contains(60L))
   }
 
+  test("readIncremental after a MoR commit: delta rows unaffected by earlier deletes") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 30L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    // a delete commit BEFORE the range is fine — equality deletes scope to
+    // files with seq < delete seq, and every delta file is newer
+    val m1 = IcebergLite.mergeOnRead(spark, t, Seq((5L, "M5")).toDF("k", "v"),
+      Seq("k"), Seq("k"), "m1")
+    val c2 = IcebergLite.append(spark,
+      (100L until 120L).map(i => (i, s"b$i")).toDF("k", "v"), t, Seq("k"), "c2")
+    val inc = IcebergLite.readIncremental(spark, t, m1.id, c2.id)
+    assert(inc.count() == 20 && inc.agg(min($"k")).as[Long].head() == 100L)
+    // and the full snapshot still applies the delete exactly once
+    assert(IcebergLite.read(spark, t).where($"k" === 5L)
+      .as[(Long, String)].collect().toSeq == Seq((5L, "M5")))
+  }
+
+  test("readWhereAt: pruned time travel at a tagged snapshot") {
+    val t = tmpTable()
+    def batch(tag: String, lo: Long) =
+      (lo until lo + 40L).map(i => (i, Seq("e", "w")(((i - lo) / 20L).toInt), s"$tag$i"))
+        .toDF("k", "r", "v")
+    IcebergLite.createPartitioned(spark, batch("a", 0L), t,
+      Seq(IcebergLite.PartitionField("r", "r", "identity")), Seq("k"), "c0")
+    val s0 = IcebergLite.readSnapshot(t).get
+    IcebergLite.setTag(t, "rel", s0.id)
+    IcebergLite.append(spark, batch("b", 100L), t, Seq("k"), "c1")
+    val q = IcebergLite.readWhereAt(spark, t, IcebergLite.tags(t)("rel"), $"r" === "e")
+    // the historical read opens ONLY the tagged snapshot's matching partition
+    assert(q.inputFiles.nonEmpty && q.inputFiles.forall(p =>
+      p.contains("/data/c0/") && p.contains("p_r=e")), q.inputFiles.mkString(","))
+    assert(q.count() == 20 && q.agg(max($"k")).as[Long].head() == 19L)
+    // ≡ unpruned time travel + row filter
+    assert(IcebergLite.readAt(spark, t, s0.id).where($"r" === "e").count() == 20)
+  }
+
   test("snapshot JSON roundtrip") {
     val s = IcebergLite.Snapshot(3, 2, """{"type":"struct"}""",
       Seq(IcebergLite.FileEntry("/a/b \"q\".parquet", 10,
