@@ -413,7 +413,8 @@ object Bench {
     // the real per-query error in "errors" (warmup results are discarded)
     Seq("q1_agg", "q21_csvscan", "q22_jsonscan",
         "tbl_maintain", "tbl_orphans", "tbl_part", "tbl_zorder",
-        "tbl_bloom", "tbl_incr_where", "tbl_tag", "tbl_wap").foreach { q =>
+        "tbl_bloom", "tbl_incr_where", "tbl_tag", "tbl_wap",
+        "tbl_delete", "tbl_cherry").foreach { q =>
       try materialize(SparkEntry.queries(q)(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $q failed (recorded in the timed loop): $e")

@@ -127,6 +127,8 @@ object SparkEntry {
     "tbl_travel" -> ((s, d) => Relational.tblTravel(s, d)),
     "tbl_tag" -> ((s, d) => Relational.tblTag(s, d)),
     "tbl_wap" -> ((s, d) => Relational.tblWap(s, d)),
+    "tbl_delete" -> ((s, d) => Relational.tblDelete(s, d)),
+    "tbl_cherry" -> ((s, d) => Relational.tblCherry(s, d)),
     "str_incr" -> ((s, d) => Relational.strIncr(s, d)),
     // rediswq lease TTL lifecycle: lost leases requeue (stateful tracker
     // vs a lag()-replay DuckDB twin of the same state machine)
@@ -764,6 +766,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey,
         |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
         |FROM orders WHERE o_orderkey % 11 IN (1, 2) AND o_orderkey % 7 = 3""".stripMargin,
+    // row-level DELETE: the table minus the equality-deleted keys
+    "tbl_delete" ->
+      """SELECT o_orderkey, o_custkey,
+        |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+        |FROM orders WHERE o_orderkey % 11 < 2 AND o_orderkey % 13 <> 0""".stripMargin,
+    // cherry-pick: base + the advanced main commit + the picked staged
+    // increment, published alone after fastForward became impossible
+    "tbl_cherry" ->
+      """SELECT o_orderkey, o_custkey,
+        |       cast(floor(o_totalprice * 100) AS bigint) AS price_c
+        |FROM orders WHERE o_orderkey % 11 IN (0, 1, 3)""".stripMargin,
     // write-audit-publish: main after the atomic fast-forward = base +
     // both staged increments (invisible to main readers until publish)
     "tbl_wap" ->
@@ -1959,6 +1972,62 @@ object Relational {
       IcebergLite.fastForward(table, "audit")
     }
     IcebergLite.dropBranch(table, "audit") // deleteIfExists semantics
+    IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** Row-level DELETE as a driver query: an O(keys) equality-delete commit
+    * ([[graft.table.IcebergLite.deleteKeys]]) removes every 13-divisible
+    * key — no data files rewritten (the commit writes ONE delete file) —
+    * and the read anti-merges it. Idempotent: deleteKeys is keyed by
+    * commitId, staging by the snapshot count. */
+  def tblDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_delete_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    val orders = t(s, d, "orders")
+    if (IcebergLite.snapshots(table).isEmpty)
+      IcebergLite.append(s, orders.where(col("o_orderkey") % 11 < 2)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        table, Seq("o_orderkey"), "base")
+    IcebergLite.deleteKeys(s, table,
+      orders.where(col("o_orderkey") % 11 < 2 && col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey")), Seq("o_orderkey"), "d1")
+    IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100).as("price_c"))
+  }
+
+  /** Cherry-pick as a driver query: one increment staged on a branch while
+    * MAIN advances past the fork (fastForward impossible), then published
+    * alone by [[graft.table.IcebergLite.cherryPick]] — files adopted by
+    * reference into main's lineage. Crash-resumable: staging keys on the
+    * branch ledger, pick detection on the main ledger. */
+  def tblCherry(s: SparkSession, d: String): DataFrame = {
+    import graft.table.IcebergLite
+    val prefix = "graft_tbl_cherry_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_"
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + graft.Fs.listingFingerprint(java.nio.file.Paths.get(d, "orders.parquet")))
+    graft.Fs.reapStaleSiblings(root, prefix)
+    val table = root.resolve("t").toString
+    def slice(m: Int) = t(s, d, "orders").where(col("o_orderkey") % 11 === m)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    if (IcebergLite.snapshots(table).isEmpty)
+      IcebergLite.append(s, slice(0), table, Seq("o_orderkey"), "base")
+    IcebergLite.appendIdempotent(s, slice(3), table, Seq("o_orderkey"), "madv")
+    if (!IcebergLite.alreadyCommitted(table, "w1")) { // not yet picked
+      if (!IcebergLite.branches(table).contains("stage"))
+        IcebergLite.createBranch(table, "stage")
+      val headLedger = IcebergLite.snapshotAt(table,
+        IcebergLite.branches(table)("stage")).map(_.commitIds)
+        .getOrElse(Set.empty[String])
+      if (!headLedger.contains("w1"))
+        IcebergLite.appendToBranch(s, slice(1), table, "stage", Seq("o_orderkey"), "w1")
+      IcebergLite.cherryPick(s, table, IcebergLite.branches(table)("stage"))
+    }
+    IcebergLite.dropBranch(table, "stage")
     IcebergLite.read(s, table).select(col("o_orderkey"), col("o_custkey"),
       floor(col("o_totalprice") * 100).as("price_c"))
   }

@@ -1215,6 +1215,89 @@ object IcebergLite {
       basedOn = Some(snap))
   }
 
+  /** Row-level DELETE (Iceberg's `DELETE FROM ... WHERE key IN ...`, the
+    * equality-delete flavor): an O(keys) commit that writes ONLY a delete
+    * file — no data rewritten, no rows replaced. Read-side semantics,
+    * maintenance folding ([[compact]]/[[maintain]]), [[rowCount]] refusal,
+    * and time travel are exactly [[mergeOnRead]]'s, minus the update rows.
+    * `keys` must match the key columns' pinned types (a silently-cast key
+    * would delete nothing); crash-retry idempotent by commitId. */
+  def deleteKeys(spark: SparkSession, table: String, keys: DataFrame,
+                 keyCols: Seq[String], commitId: String): Snapshot = retryOnConflict() {
+    if (alreadyCommitted(table, commitId)) readSnapshot(table).get
+    else {
+      val snap = readSnapshot(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot in $table"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
+        s"delete keys ${keyCols.mkString(",")} not all in $table's schema")
+      val sel = keys.select(keyCols.map(col): _*)
+      val want = keyCols.map(c => c -> schema(c).dataType.catalogString).toMap
+      val got = sel.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+      require(got == want,
+        s"deleteKeys type mismatch for $table: table has ${want.toSeq.sorted
+          .mkString(", ")} but the batch has ${got.toSeq.sorted.mkString(", ")}")
+      val delDir = Paths.get(table, "deletes", commitId)
+      toPhysical(sel.distinct(), table)
+        .coalesce(1).write.mode("overwrite").parquet(delDir.toString)
+      val delFile = {
+        val st = Files.list(delDir)
+        try st.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted.head
+        finally st.close()
+      }
+      val physKeys = keyCols.map(snap.physical)
+      commitSnapshot(table, snap.copy(id = snap.id + 1, parent = snap.id,
+        deletes = snap.deletes :+ DeleteEntry(delFile, snap.id + 1, physKeys),
+        commitIds = snap.commitIds + commitId))
+    }
+  }
+
+  /** Cherry-pick (Iceberg's `cherrypick_snapshot`): apply ONE staged
+    * snapshot's append delta onto the CURRENT snapshot — the
+    * single-increment publish that still works after main has advanced,
+    * where [[fastForward]] (whole-branch publish) refuses. The staged
+    * snapshot must be a pure append relative to its parent (the only shape
+    * [[appendToBranch]] produces); its delta files are adopted BY REFERENCE
+    * (no data copied), restamped into main's lineage, and its commitId
+    * joins main's ledger — so a re-pick of the same increment is an
+    * idempotent no-op. The pick itself advances main, so the BRANCH can no
+    * longer fast-forward; publish its remaining increments by further picks
+    * (oldest first) or re-stage. Schema and partition spec must not have
+    * diverged (the files' layout is the staged lineage's). */
+  def cherryPick(spark: SparkSession, table: String, stagedId: Long): Snapshot =
+    retryOnConflict() {
+      val s = snapshotAt(table, stagedId).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $stagedId in $table"))
+      val p = snapshotAt(table, s.parent).getOrElse(throw new IllegalStateException(
+        s"snapshot ${s.parent} of $table is missing (expired?) - cannot verify " +
+          "the staged delta"))
+      val sPaths = s.files.map(_.path).toSet
+      require(p.files.forall(f => sPaths.contains(f.path))
+          && s.deletes.map(d => (d.path, d.seq)).toSet
+            == p.deletes.map(d => (d.path, d.seq)).toSet,
+        s"snapshot $stagedId of $table is not a pure append over its parent - " +
+          "only append increments can be cherry-picked")
+      val cids = s.commitIds -- p.commitIds
+      require(cids.size == 1,
+        s"snapshot $stagedId of $table added ${cids.size} commitIds (expected 1)")
+      val cid = cids.head
+      val cur = readSnapshot(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot in $table"))
+      if (cur.commitIds.contains(cid)) cur // already picked (or fast-forwarded)
+      else {
+        require(cur.schemaJson == s.schemaJson && cur.spec == s.spec
+            && cur.renames == s.renames,
+          s"$table's schema/spec/renames diverged from the staged lineage; " +
+            "re-stage against the current snapshot instead")
+        val delta = s.files.filter(_.seq == s.id)
+        commitSnapshot(table, Snapshot(cur.id + 1, cur.id, cur.schemaJson,
+          cur.files ++ delta.map(_.copy(seq = cur.id + 1)), cur.renames,
+          cur.deletes, cur.commitIds + cid, cur.spec, cur.order))
+      }
+    }
+
   /** When to fold pending merge-on-read state back into clean data files.
     * Every stacked equality-delete commit taxes subsequent reads with one
     * more broadcast anti-join per older file group ([[readFiles]]); the

@@ -145,6 +145,37 @@ class BranchSpec extends AnyFunSuite {
     assertThrows[IcebergLite.CommitConflictException](IcebergLite.fastForward(t, "stage"))
   }
 
+  test("cherryPick publishes ONE staged increment onto an advanced main; re-pick is a no-op") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c0")
+    IcebergLite.createBranch(t, "stage")
+    val s1 = IcebergLite.appendToBranch(spark,
+      (100L until 110L).map(i => (i, s"s$i")).toDF("k", "v"), t, "stage", Seq("k"), "w1")
+    val s2 = IcebergLite.appendToBranch(spark,
+      (200L until 210L).map(i => (i, s"t$i")).toDF("k", "v"), t, "stage", Seq("k"), "w2")
+    // main advances past the fork: whole-branch publish is off the table
+    IcebergLite.append(spark, (50L until 60L).map(i => (i, s"m$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    assertThrows[IcebergLite.CommitConflictException](IcebergLite.fastForward(t, "stage"))
+    // ...but the audited FIRST increment still publishes
+    val picked = IcebergLite.cherryPick(spark, t, s1.id)
+    assert(picked.commitIds.contains("w1") && !picked.commitIds.contains("w2"))
+    val main = IcebergLite.read(spark, t)
+    assert(main.count() == 30 && main.where($"k" >= 200L).count() == 0)
+    assert(main.where($"k" >= 100L && $"k" < 110L).count() == 10)
+    // adopted by reference: the picked rows come from the staged commit's files
+    assert(main.inputFiles.exists(_.contains("/data/w1/")))
+    // idempotent re-pick; then the second increment lands the same way
+    assert(IcebergLite.cherryPick(spark, t, s1.id).id == picked.id)
+    IcebergLite.cherryPick(spark, t, s2.id)
+    assert(IcebergLite.read(spark, t).count() == 40)
+    // a replay of the staged commit against MAIN is a no-op too (ledger)
+    val before = IcebergLite.currentSnapshotId(t).get
+    IcebergLite.appendIdempotent(spark,
+      (100L until 110L).map(i => (i, s"s$i")).toDF("k", "v"), t, Seq("k"), "w1")
+    assert(IcebergLite.currentSnapshotId(t).contains(before))
+    IcebergLite.dropBranch(t, "stage")
+  }
+
   test("abandoned branch can never evict CURRENT: retention is reachability-based") {
     val t = tmpTable()
     IcebergLite.append(spark, (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")

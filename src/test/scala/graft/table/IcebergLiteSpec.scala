@@ -1141,6 +1141,38 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.readAt(spark, t, s0.id).where($"r" === "e").count() == 20)
   }
 
+  test("deleteKeys: O(keys) row-level DELETE, folded by compact, idempotent") {
+    val t = tmpTable()
+    IcebergLite.append(spark, (0L until 50L).map(i => (i, s"a$i")).toDF("k", "v"), t, Seq("k"), "c1")
+    val pre = IcebergLite.currentSnapshotId(t).get
+    // duplicate keys in the batch are fine (distinct'd); no data rewritten
+    IcebergLite.deleteKeys(spark, t, Seq(3L, 7L, 7L, 41L).toDF("k"), Seq("k"), "d1")
+    val after = IcebergLite.read(spark, t)
+    assert(after.count() == 47 && after.where($"k".isin(3L, 7L, 41L)).count() == 0)
+    // time travel still shows the pre-delete state; rowCount refuses
+    assert(IcebergLite.readAt(spark, t, pre).count() == 50)
+    assert(IcebergLite.rowCount(t).isEmpty)
+    // the commit wrote ONLY a delete file - every data file carried by path
+    val snap = IcebergLite.readSnapshot(t).get
+    assert(snap.files.map(_.path).toSet ==
+      IcebergLite.snapshotAt(t, pre).get.files.map(_.path).toSet)
+    // type-mismatched keys would silently delete nothing: refused
+    assertThrows[IllegalArgumentException](
+      IcebergLite.deleteKeys(spark, t, Seq(3).toDF("k"), Seq("k"), "d2")) // int vs long
+    // rows appended AFTER the delete are untouched even on the same keys
+    IcebergLite.append(spark, Seq((7L, "NEW7")).toDF("k", "v"), t, Seq("k"), "c2")
+    assert(IcebergLite.read(spark, t).where($"k" === 7L)
+      .as[(Long, String)].collect().toSeq == Seq((7L, "NEW7")))
+    // crash-retry replay is a metadata no-op
+    val cur = IcebergLite.currentSnapshotId(t).get
+    IcebergLite.deleteKeys(spark, t, Seq(3L).toDF("k"), Seq("k"), "d1")
+    assert(IcebergLite.currentSnapshotId(t).contains(cur))
+    // compact folds the deletes; the fast count path returns
+    IcebergLite.compact(spark, t, Seq("k"), "cc")
+    assert(IcebergLite.rowCount(t).contains(48L))
+    assert(IcebergLite.read(spark, t).count() == 48)
+  }
+
   test("snapshot JSON roundtrip") {
     val s = IcebergLite.Snapshot(3, 2, """{"type":"struct"}""",
       Seq(IcebergLite.FileEntry("/a/b \"q\".parquet", 10,
