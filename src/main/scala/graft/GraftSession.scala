@@ -42,6 +42,21 @@ object GraftSession {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
 
+  /** The object-aggregate hash-vs-sort posture for sessions the engine did
+    * NOT build (the frozen driver mains construct their own sessions):
+    * runtime-settable, so operators whose aggregation buffers are objects
+    * (geomedian's flat GmBuf, collect_list reassembly, summary stats) apply
+    * it at query-build time. Identical rationale to the builder config
+    * above — with the 128-key default every partition of a
+    * thousands-of-groups pixel aggregation abandons hashing and SORTS every
+    * input row by group key; hashed buffers are bounded by
+    * groups-per-partition, the right posture at any scale. Purely physical:
+    * results are unaffected. */
+  def tuneObjectAgg(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    s
+  }
+
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")

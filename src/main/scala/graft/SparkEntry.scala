@@ -1025,7 +1025,8 @@ object PixelQueries {
     Composites.meanComposite(px(s, d), Seq("py", "px"), "red2")
 
   def median(s: SparkSession, d: String): DataFrame =
-    Composites.medianComposite(px(s, d), Seq("py", "px"), "red2")
+    Composites.medianComposite(
+      px(graft.GraftSession.tuneObjectAgg(s), d), Seq("py", "px"), "red2")
 
   def recent(s: SparkSession, d: String): DataFrame =
     Composites.mostRecentValid(px(s, d), Seq("py", "px"), "ts",
@@ -1048,6 +1049,7 @@ object PixelQueries {
     * row-for-row; converged-form parity vs the scalar oracle (default 200 /
     * 1e-9) stays in AggregatorSpec. */
   def geomedian(s: SparkSession, d: String): DataFrame = {
+    graft.GraftSession.tuneObjectAgg(s)
     px(s, d).groupBy("py", "px")
       .agg(GeomedianVec(32, 0.0)(col("blue").cast("double"), col("nir").cast("double"),
         col("red").cast("double")).as("gm"))
@@ -1060,7 +1062,8 @@ object PixelQueries {
   /** Geomedoid (A9's second variant, `dc_mosaic.py:558-584`): the observed
     * (blue, nir, red) vector nearest the fixed-step geomedian. */
   def geomedoid(s: SparkSession, d: String): DataFrame =
-    Composites.geomedoidComposite(px(s, d), Seq("py", "px"),
+    Composites.geomedoidComposite(
+      px(graft.GraftSession.tuneObjectAgg(s), d), Seq("py", "px"),
       bands = Seq("blue", "nir", "red"), iters = 32)
 
   /** True bitmask decode (`dc_utilities.py:199-215`): (qa & Σ2^b) ≠ 0. */
@@ -1083,6 +1086,7 @@ object PixelQueries {
       orderCols = Seq("px", "l_orderkey", "l_linenumber"), v = "red2")
 
   def summary(s: SparkSession, d: String): DataFrame = {
+    graft.GraftSession.tuneObjectAgg(s)
     val agg = udaf(WofsStatsAgg)
     px(s, d).groupBy("py", "px").agg(agg(col("red2").cast("double")).as("st"))
       .select(col("py"), col("px"), col("st.total_data").as("total_data"),
@@ -1172,22 +1176,32 @@ object TrainQueries {
   /** The composed training-data pipeline as ONE flow (the engine's reason
     * for existing at 100 TB): language-ID filter → token-budget filter →
     * exact-content dedup (keeper = min doc_id) → per-survivor token
-    * budgets. Shuffle discipline: the dedup exchange carries (fp, doc_id)
-    * ONLY — every text-derived column re-joins by id afterwards. The
-    * corpus is doubled (like dd_exact) so the dedup stage provably
-    * removes rows. */
+    * budgets. SINGLE-PASS derivation: the text-derived columns (langId,
+    * token counts, fingerprint — the regex CPU over the corpus) are
+    * computed on ONE scan feeding ONE map-side-combined aggregation; the
+    * exchange carries (fp, doc_id, three small derived values), never the
+    * text. Same fp ⟹ same text ⟹ identical derived values group-wide, so
+    * min() selects exactly the keeper row's values — relationally equal to
+    * the former keeper-groupBy + re-join-by-id plan, which scanned the
+    * corpus (and paid the regex CPU) twice because the unpersisted lazy
+    * plan was referenced on both sides of the self-join. The corpus is
+    * doubled (like dd_exact) so the dedup stage provably removes rows. */
   def pipeCorpus(s: SparkSession, d: String): DataFrame = {
     val doubled = docs(s, d).select(col("doc_id"), col("text"))
       .unionByName(docs(s, d).select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-    val base = doubled
+    val scored = doubled
       .withColumn("lang_pred", TextOps.langId(col("text")))
       .withColumn("n_tokens", TextOps.tokenCount(col("text")))
       .withColumn("n_bpe_tokens", TextOps.bpeTokenCount(col("text")))
       .withColumn("fp", TextOps.fingerprint(col("text")))
       .where(col("lang_pred") === "en" && col("n_tokens") >= 20)
-    val keepers = base.select("fp", "doc_id")
-      .groupBy("fp").agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-    keepers.join(base.drop("fp"), Seq("doc_id"))
+      .select("doc_id", "fp", "lang_pred", "n_tokens", "n_bpe_tokens")
+    scored.groupBy("fp").agg(
+        min("doc_id").as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        min("lang_pred").as("lang_pred"),
+        min("n_tokens").as("n_tokens"),
+        min("n_bpe_tokens").as("n_bpe_tokens"))
       .select("doc_id", "fp", "n_copies", "lang_pred", "n_tokens", "n_bpe_tokens")
   }
 
@@ -1250,6 +1264,7 @@ object TrainQueries {
     * the doc-level ref hash (DuckDB-computable); the pixel proof lives in
     * the booleans, which only the real codec round-tripping can set. */
   def mediaMultiband(s: SparkSession, d: String): DataFrame = {
+    graft.GraftSession.tuneObjectAgg(s)
     val scenes = graft.model.SynthCorpus.scenesFromOrders(s, d)
       .withColumn("platform", lit("SENTINEL_2"))
       .where(col("doc_id") % 30 === 0)

@@ -284,7 +284,13 @@ object Dedup {
    * Returns (id, component).
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the PAIR computation once: `fwd` appears on both legs of
+    // the symmetric union, so without this the (potentially expensive)
+    // upstream plan — e.g. the whole minhash shingle/band/verify pipeline —
+    // runs twice just to build the edge list, and cache() would only catch
+    // the duplication after paying it once
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
     // localCheckpoint per round CUTS LINEAGE — without it the iterated plan

@@ -463,6 +463,20 @@ object IcebergLite {
             "different commitId")
       }
     }
+    // …and the SAME guard against CURRENT's (main's) ledger: a branch write
+    // whose commitId main committed after the fork — or a plain append
+    // replaying a committed id — would mode(overwrite) files the committed
+    // snapshot references, corrupting the table before any optimistic check
+    // runs. Idempotent replays never reach here (appendIdempotent / merge /
+    // mergeOnRead / deleteKeys / compact all pre-check alreadyCommitted).
+    readSnapshot(table).foreach { cur =>
+      val mainLedger =
+        if (cur.commitIds.nonEmpty) cur.commitIds else historicalCommitIds(table)
+      require(!mainLedger.contains(commitId),
+        s"commitId $commitId is already committed on $table's main lineage; " +
+          "replaying a committed id would overwrite its referenced files — " +
+          "use appendIdempotent for crash-retries, or a different commitId")
+    }
     val snap = snapOverride.orElse(readSnapshot(table))
     val physFn = snap.map(s => s.physical _).getOrElse(identity[String] _)
     val phys = toPhysical(df, table)
@@ -626,6 +640,11 @@ object IcebergLite {
               bloomCols: Seq[String] = Nil): Snapshot = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are alternative clustering strategies; pick one")
+    // crash-retry contract (same as append/merge/deleteKeys): replaying a
+    // COMPLETED compact would lazily self-read the current snapshot's files
+    // from data/<commitId>/ and then mode(overwrite) that same directory —
+    // a read-from/overwrite-to-same-path corrupting the committed snapshot
+    if (alreadyCommitted(table, commitId)) return readSnapshot(table).get
     val snap = readSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     // explicit clustering args win; otherwise the table's declared
@@ -769,7 +788,11 @@ object IcebergLite {
     // partition values are carried by the hive-style path segments the
     // spec-aware write laid down (p_<name>=<value>); a null partition value
     // writes __HIVE_DEFAULT_PARTITION__, recorded as no value → the file is
-    // conservatively kept by every partition prune
+    // conservatively kept by every partition prune. Segments are stored
+    // UNESCAPED: partitionBy path-escapes ':', '/', '%', '=', '#', … as %XX
+    // (Spark's escapePathName), while partitionPrune compares raw predicate
+    // literals — recording the escaped form would wrongly prune files whose
+    // string partition value contains any escapable character
     val PartSeg = "([^/=]+)=([^/]+)".r
     def partOf(path: String): Map[String, String] =
       if (spec.isEmpty) Map.empty
@@ -777,7 +800,7 @@ object IcebergLite {
         val names = spec.map(partColName).toSet
         path.split('/').collect {
           case PartSeg(n, v) if names.contains(n) && v != "__HIVE_DEFAULT_PARTITION__" =>
-            n.stripPrefix("p_") -> v
+            n.stripPrefix("p_") -> unescapePathSegment(v)
         }.toMap
       }
     // per-file Bloom sidecars (see [[Bloom]]): one extra pass hashing each
@@ -799,12 +822,12 @@ object IcebergLite {
             bloomCols.map { c =>
               val p = bDir.resolve(s"f${i}_$c.bloom")
               Files.write(p, r.getAs[Array[Byte]](s"bloom_$c"))
-              (r.getAs[String]("path"), c) -> p.toString
+              (fsPath(r.getAs[String]("path")), c) -> p.toString
             }
           }.toMap
       }
     val entries = stats.map { r =>
-      val path = r.getAs[String]("path")
+      val path = fsPath(r.getAs[String]("path"))
       FileEntry(path, r.getAs[Long]("rows"),
         statNames.map(c => c -> String.valueOf(r.getAs[Any](s"min_$c"))).toMap,
         statNames.map(c => c -> String.valueOf(r.getAs[Any](s"max_$c"))).toMap,
@@ -852,6 +875,37 @@ object IcebergLite {
       rebase, toBranch)
   }
 
+  /** `input_file_name()` returns the Hadoop Path URI form — %XX-encoded on
+    * top of any Hive path escaping in partition dir segments. Decode it to
+    * the plain on-disk filesystem path BEFORE recording: every consumer
+    * (read-back, `Files.size`, the orphan sweep's referenced-set compare)
+    * expects the literal path, and for a partition value with escapable
+    * characters the URI form simply does not resolve. */
+  private def fsPath(p: String): String =
+    try new java.net.URI(p).getPath catch {
+      case _: java.net.URISyntaxException => p.stripPrefix("file:")
+    }
+
+  /** Inverse of Spark's `escapePathName` (%XX, uppercase hex): a '%'
+    * followed by two hex digits decodes to that char; anything else is
+    * literal. '%' itself is in Spark's escape set, so every %XX sequence in
+    * a written partition dir segment is an escape — the decode is lossless. */
+  private[table] def unescapePathSegment(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hi = Character.digit(s.charAt(i + 1), 16)
+        val lo = Character.digit(s.charAt(i + 2), 16)
+        if (hi >= 0 && lo >= 0) { sb.append(((hi << 4) | lo).toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** A commit found the table advanced past the snapshot it was computed
     * from, and the operation cannot be rebased mechanically (replacing
     * commits, file-targeted merges, metadata ops). Re-run the operation
@@ -878,7 +932,26 @@ object IcebergLite {
           } catch { case _: java.nio.file.NoSuchFileException => () }
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    // live-holder heartbeat: the typical commit is "write one JSON + rename",
+    // but the amortized manifest merge (every ManifestMergeCount commits) and
+    // the stats/bloom passes are O(table files) — a holder legitimately
+    // exceeding staleMs would get its lock stolen and the steal lets two
+    // committers allocate the same snapshot id (lost commit). Bumping the
+    // lock's mtime every staleMs/4 keeps a LIVE holder's lock perpetually
+    // fresh, so the stale-break fires only for genuinely dead committers.
+    val beat = new Thread(() => {
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(staleMs / 4)
+        Files.setLastModifiedTime(lock,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      } catch {
+        case _: InterruptedException => () // normal release
+        case _: java.io.IOException => () // lock gone: nothing left to guard
+      }
+    }, s"graft-commit-lock-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally { beat.interrupt(); Files.deleteIfExists(lock) }
   }
 
   /** Unconditional snapshot write + CURRENT swap. Callers must hold the

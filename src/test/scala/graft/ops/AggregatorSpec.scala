@@ -65,6 +65,25 @@ class AggregatorSpec extends AnyFunSuite {
     assert(viaSpark == scalar) // sort-before-iterate ⇒ partition-order independent
   }
 
+  test("geomedian: weiszfeldFlat on the flat d-strided buffer is bit-identical to the boxed form") {
+    val rnd = new scala.util.Random(31)
+    val pts = (0 until 137).map { _ =>
+      Seq(rnd.nextInt(3000).toDouble, rnd.nextInt(3000).toDouble, rnd.nextInt(3000).toDouble)
+    }
+    for (iters <- Seq(1, 7, 32)) {
+      val boxed = GeomedianAgg.weiszfeld(pts, maxIter = iters, tol = 0.0)
+      val flat = pts.flatten.toArray
+      val viaFlat = GeomedianAgg.weiszfeldFlat(flat, 3, flat.length,
+        maxIter = iters, tol = 0.0).toSeq
+      assert(viaFlat == boxed, s"iters=$iters: flat path diverged")
+    }
+    // degenerate shapes: empty buffer, coincident points
+    assert(GeomedianAgg.weiszfeldFlat(Array.emptyDoubleArray, 0, 0, 32, 0.0).isEmpty)
+    val same = Array(5.0, 6.0, 5.0, 6.0, 5.0, 6.0)
+    assert(GeomedianAgg.weiszfeldFlat(same, 2, 6, 32, 0.0).toSeq ==
+      GeomedianAgg.weiszfeld(Seq(Seq(5.0, 6.0), Seq(5.0, 6.0), Seq(5.0, 6.0)), 32, 0.0))
+  }
+
   test("geomedoid: returns an actual observation, the argmin to the rounded geomedian") {
     val rnd = new scala.util.Random(23)
     val rows = (0 until 400).map { i =>

@@ -1189,4 +1189,87 @@ class IcebergLiteSpec extends AnyFunSuite {
     }
     assert(IcebergLite.parseSnapshot(js) == s)
   }
+
+  test("identity string partition values with escapable chars prune correctly") {
+    // partitionBy path-escapes ':', '%', '=', '#', '/' as %XX — recorded
+    // partition values must be UNESCAPED or equality pruning silently drops
+    // the files before the residual predicate runs
+    val t = tmpTable()
+    val rows = Seq(
+      (1L, "a:b"), (2L, "a:b"),
+      (3L, "x%y"), (4L, "p=q"), (5L, "plain")
+    ).toDF("k", "region")
+    IcebergLite.createPartitioned(spark, rows, t,
+      Seq(IcebergLite.PartitionField("region", "region", "identity")),
+      Seq("k"), "c1")
+    val snap = IcebergLite.readSnapshot(t).get
+    val stored = snap.files.flatMap(_.partition.get("region")).toSet
+    assert(stored == Set("a:b", "x%y", "p=q", "plain"),
+      s"partition values must be stored unescaped, got $stored")
+    def keys(v: String): Set[Long] =
+      IcebergLite.readWhere(spark, t, col("region") === v)
+        .select("k").as[Long].collect().toSet
+    assert(keys("a:b") == Set(1L, 2L))
+    assert(keys("x%y") == Set(3L))
+    assert(keys("p=q") == Set(4L))
+    assert(keys("plain") == Set(5L))
+    // equality pruning still prunes: a one-value read opens only that
+    // partition's files
+    val one = IcebergLite.readWhere(spark, t, col("region") === "plain")
+    assert(one.inputFiles.length < snap.files.size)
+  }
+
+  test("unescapePathSegment inverts Spark's %XX path escaping") {
+    assert(IcebergLite.unescapePathSegment("a%3Ab") == "a:b")
+    assert(IcebergLite.unescapePathSegment("x%25y") == "x%y")
+    assert(IcebergLite.unescapePathSegment("p%3Dq") == "p=q")
+    assert(IcebergLite.unescapePathSegment("%2F") == "/")
+    assert(IcebergLite.unescapePathSegment("plain") == "plain")
+    assert(IcebergLite.unescapePathSegment("50%") == "50%")   // dangling %
+    assert(IcebergLite.unescapePathSegment("%zz") == "%zz")   // non-hex
+  }
+
+  test("writeData refuses a commitId already committed on main's lineage") {
+    val t = tmpTable()
+    IcebergLite.append(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), "c1")
+    val before = IcebergLite.read(spark, t).as[(Long, String)].collect().toSet
+    // a plain replay of a committed id must be refused BEFORE any IO —
+    // mode(overwrite) would clobber the files the committed snapshot holds
+    val e = intercept[IllegalArgumentException](
+      IcebergLite.writeData(Seq((9L, "z")).toDF("k", "v"), t, "c1"))
+    assert(e.getMessage.contains("c1"))
+    assert(IcebergLite.read(spark, t).as[(Long, String)].collect().toSet == before)
+  }
+
+  test("appendToBranch refuses a commitId main committed after the fork") {
+    val t = tmpTable()
+    IcebergLite.append(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq("k"), "base")
+    IcebergLite.createBranch(t, "stage")
+    // main advances past the fork with commitId "madv"
+    IcebergLite.append(spark, Seq((2L, "b")).toDF("k", "v"), t, Seq("k"), "madv")
+    val mainBefore = IcebergLite.read(spark, t).as[(Long, String)].collect().toSet
+    // staging the SAME id on the branch would overwrite data/madv/ — the
+    // files main's committed snapshot references
+    intercept[IllegalArgumentException](
+      IcebergLite.appendToBranch(spark, Seq((3L, "c")).toDF("k", "v"),
+        t, "stage", Seq("k"), "madv"))
+    assert(IcebergLite.read(spark, t).as[(Long, String)].collect().toSet == mainBefore)
+    IcebergLite.dropBranch(t, "stage")
+  }
+
+  test("compact replay with the same commitId is a metadata-checked no-op") {
+    val t = tmpTable()
+    IcebergLite.append(spark,
+      (0 until 40).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(3),
+      t, Seq("k"), "c1")
+    IcebergLite.append(spark,
+      (40 until 80).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(3),
+      t, Seq("k"), "c2")
+    val first = IcebergLite.compact(spark, t, Seq("k"), "cc")
+    val replay = IcebergLite.compact(spark, t, Seq("k"), "cc")
+    assert(replay.id == first.id, "replay must not commit a new snapshot")
+    assert(replay.files.map(_.path).sorted == first.files.map(_.path).sorted)
+    assert(IcebergLite.read(spark, t).select(sum($"k")).as[Long].head() ==
+      (0 until 80).map(_.toLong).sum)
+  }
 }
