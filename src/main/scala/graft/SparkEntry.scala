@@ -1029,17 +1029,20 @@ object PixelQueries {
       px(graft.GraftSession.tuneObjectAgg(s), d), Seq("py", "px"), "red2")
 
   def recent(s: SparkSession, d: String): DataFrame =
-    Composites.mostRecentValid(px(s, d), Seq("py", "px"), "ts",
+    Composites.mostRecentValid(px(graft.GraftSession.tuneObjectAgg(s), d),
+      Seq("py", "px"), "ts",
       carried = Seq("l_orderkey", "l_linenumber", "red2"), v = "red2")
       .select("py", "px", "l_orderkey", "l_linenumber", "red2")
 
   def maxNdvi(s: SparkSession, d: String): DataFrame =
-    Composites.maxNdviComposite(px(s, d), Seq("py", "px"),
+    Composites.maxNdviComposite(px(graft.GraftSession.tuneObjectAgg(s), d),
+      Seq("py", "px"),
       tieBreak = Seq("l_orderkey", "l_linenumber"), bands = Seq("blue", "nir", "red"))
       .select("py", "px", "best_ndvi", "blue", "nir", "red")
 
   def minNdvi(s: SparkSession, d: String): DataFrame =
-    Composites.minNdviComposite(px(s, d), Seq("py", "px"),
+    Composites.minNdviComposite(px(graft.GraftSession.tuneObjectAgg(s), d),
+      Seq("py", "px"),
       tieBreak = Seq("l_orderkey", "l_linenumber"), bands = Seq("blue", "nir", "red"))
       .select("py", "px", "best_ndvi", "blue", "nir", "red")
 
@@ -1187,6 +1190,7 @@ object TrainQueries {
     * plan was referenced on both sides of the self-join. The corpus is
     * doubled (like dd_exact) so the dedup stage provably removes rows. */
   def pipeCorpus(s: SparkSession, d: String): DataFrame = {
+    val keptLang = "en" // the language-ID filter constant, single source
     val doubled = docs(s, d).select(col("doc_id"), col("text"))
       .unionByName(docs(s, d).select((col("doc_id") + 1000000).as("doc_id"), col("text")))
     val scored = doubled
@@ -1194,14 +1198,19 @@ object TrainQueries {
       .withColumn("n_tokens", TextOps.tokenCount(col("text")))
       .withColumn("n_bpe_tokens", TextOps.bpeTokenCount(col("text")))
       .withColumn("fp", TextOps.fingerprint(col("text")))
-      .where(col("lang_pred") === "en" && col("n_tokens") >= 20)
-      .select("doc_id", "fp", "lang_pred", "n_tokens", "n_bpe_tokens")
+      .where(col("lang_pred") === keptLang && col("n_tokens") >= 20)
+      .select("doc_id", "fp", "n_tokens", "n_bpe_tokens")
+    // every aggregation buffer stays a mutable primitive (longs), so the
+    // dedup runs as a map-side-combined HashAggregate — min over the
+    // filtered-out STRING lang_pred would demote the whole aggregation to
+    // SortAggregate (sort by fp on both exchange sides); post-filter the
+    // value is provably the filter constant, re-attached as a literal
     scored.groupBy("fp").agg(
         min("doc_id").as("doc_id"),
         count(lit(1)).as("n_copies"),
-        min("lang_pred").as("lang_pred"),
         min("n_tokens").as("n_tokens"),
         min("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumn("lang_pred", lit(keptLang))
       .select("doc_id", "fp", "n_copies", "lang_pred", "n_tokens", "n_bpe_tokens")
   }
 

@@ -87,11 +87,18 @@ object Ann {
       greatest(lit(-127.0), least(lit(127.0), floor(x.cast("double") * 127 + 0.5)))
         .cast("tinyint"))
 
-  /** Exact integer dot over stored-int8 embeddings (widen per element —
-    * 127²·dim fits int32 far beyond any real dim). */
-  def i8Dot(a: Column, b: Column): Column =
+  /** Column-algebra int8 dot (parity reference for [[i8Dot]]). */
+  private[ann] def i8DotCols(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
       lit(0), (acc, v) => acc + v)
+
+  /** Exact integer dot over stored-int8 embeddings (widen per element —
+    * 127²·dim fits int32 far beyond any real dim) — native [[I8Dot]]
+    * kernel: no dim-sized intermediate array per candidate pair. */
+  def i8Dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(I8Dot(GraftShims.expression(a), GraftShims.expression(b)))
+  }
 
   /** Top-k by stored-int8 dot: the corpus is quantized ONCE (in production:
     * written as the array<tinyint> storage column), probes broadcast, and
@@ -365,11 +372,15 @@ object Ann {
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       .withColumn("cell", explode(IvfIndex.probeCellsUdf(centers, nprobe)(col("pe")))))
     val agg = udaf(new TopKAgg(k))
+    // no per-pair dedup stage: every corpus row is assigned to exactly ONE
+    // cell, so the cell equi-join can produce a given (probe, neighbor)
+    // pair at most once — the former groupBy(probe_id, neighbor_id) was a
+    // full exchange of the candidate set for nothing. TopKAgg now combines
+    // map-side straight off the join (k rows per probe cross the shuffle).
     explodeTopK(
       posts.join(p, Seq("cell"))
         .where(col("probe_id") =!= col("neighbor_id"))
         .withColumn("sim", cosine(col("pe"), col("ce")))
-        .groupBy(col("probe_id"), col("neighbor_id")).agg(first(col("sim")).as("sim"))
         .groupBy("probe_id").agg(agg(col("sim"), col("neighbor_id")).as("top")),
       "sim")
   }

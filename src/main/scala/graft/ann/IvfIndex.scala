@@ -158,11 +158,12 @@ object IvfIndex {
     val posts = spark.read.parquet(s"$path/posts")
       .where(col("cell").isin(cells.map(Integer.valueOf): _*))
     val agg = udaf(new TopKAgg(k))
+    // one-cell-per-corpus-row ⇒ (probe, neighbor) pairs are already unique
+    // off the cell join; see Ann.ivfTopK — no dedup exchange needed
     Ann.explodeTopKPairs(
       posts.join(p, Seq("cell"))
         .where(col("probe_id") =!= col("neighbor_id"))
         .withColumn("sim", Ann.cosine(col("pe"), col("ce")))
-        .groupBy(col("probe_id"), col("neighbor_id")).agg(first(col("sim")).as("sim"))
         .groupBy("probe_id").agg(agg(col("sim"), col("neighbor_id")).as("top")),
       "sim")
   }

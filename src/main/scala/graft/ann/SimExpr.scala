@@ -60,6 +60,20 @@ object SimKernels {
     }
     s
   }
+
+  def i8Dot(a: ArrayData, b: ArrayData): Int = {
+    val n = sameLength(a, b)
+    // pure integer adds: order-free and exact (127²·dim stays far under
+    // Int.MaxValue for any real embedding width), so bit-parity with the
+    // zip_with/aggregate Column form is unconditional
+    var s = 0
+    var i = 0
+    while (i < n) {
+      s += a.getByte(i) * b.getByte(i)
+      i += 1
+    }
+    s
+  }
 }
 
 sealed abstract class SimBinary extends BinaryExpression {
@@ -95,4 +109,29 @@ case class QuantizedDot(left: Expression, right: Expression) extends SimBinary {
   override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
     copy(left = l, right = r)
   override def prettyName: String = "quantized_dot"
+}
+
+/** `i8_dot(a, b)` — exact Σ aᵢ·bᵢ over stored-int8 (`array<tinyint>`)
+  * embeddings, the per-pair kernel of [[Ann.i8TopK]]. Same motivation as
+  * the float kernels above: the zip_with/aggregate Column form builds a
+  * dim-sized intermediate array per candidate pair. */
+case class I8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{ByteType, IntegerType}
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<tinyint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimKernels.i8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ann.SimKernels.i8Dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): I8Dot =
+    copy(left = l, right = r)
+  override def prettyName: String = "i8_dot"
 }

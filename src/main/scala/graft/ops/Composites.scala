@@ -33,13 +33,15 @@ object Composites {
       .agg(percentile(when(valid(col(v)), col(v)), lit(0.5)).as("median_v"))
 
   /** Most-recent valid observation of all carried columns; deterministic via
-    * full lexicographic tie-break (ts, then carried cols). */
+    * full lexicographic tie-break (ts, then carried cols). Aggregated with
+    * [[StructExtremum]] (hashed argmax) — `max(struct)` would plan a
+    * SortAggregate, sorting every row by pixel key on both exchange sides. */
   def mostRecentValid(px: DataFrame, keys: Seq[String], ts: String,
                       carried: Seq[String], v: String): DataFrame = {
     val packed = struct((col(ts) +: carried.map(col)): _*)
     val agged = px.where(valid(col(v)))
       .groupBy(keys.map(col): _*)
-      .agg(max(packed).as("__top"))
+      .agg(StructExtremum.structMax(packed).as("__top"))
     carried.foldLeft(agged)((df, c) => df.withColumn(c, col(s"__top.$c"))).drop("__top")
   }
 
@@ -53,7 +55,8 @@ object Composites {
   def maxNdviComposite(px: DataFrame, keys: Seq[String], tieBreak: Seq[String],
                        bands: Seq[String]): DataFrame = {
     val packed = struct((ndvi.as("__ndvi") +: tieBreak.map(col)) ++ bands.map(col): _*)
-    val agged = px.groupBy(keys.map(col): _*).agg(max(packed).as("__top"))
+    val agged = px.groupBy(keys.map(col): _*)
+      .agg(StructExtremum.structMax(packed).as("__top"))
     bands.foldLeft(agged)((df, b) => df.withColumn(b, col(s"__top.$b")))
       .withColumn("best_ndvi", col("__top.__ndvi")).drop("__top")
   }
@@ -62,7 +65,8 @@ object Composites {
   def minNdviComposite(px: DataFrame, keys: Seq[String], tieBreak: Seq[String],
                        bands: Seq[String]): DataFrame = {
     val packed = struct((ndvi.as("__ndvi") +: tieBreak.map(col)) ++ bands.map(col): _*)
-    val agged = px.groupBy(keys.map(col): _*).agg(min(packed).as("__top"))
+    val agged = px.groupBy(keys.map(col): _*)
+      .agg(StructExtremum.structMin(packed).as("__top"))
     bands.foldLeft(agged)((df, b) => df.withColumn(b, col(s"__top.$b")))
       .withColumn("best_ndvi", col("__top.__ndvi")).drop("__top")
   }
@@ -161,7 +165,7 @@ object Composites {
     val packed = struct(d2.as("__d2") +: bands.map(col): _*)
     val agged = px.join(gm, keys)
       .groupBy(keys.map(col): _*)
-      .agg(min(packed).as("__top"))
+      .agg(StructExtremum.structMin(packed).as("__top"))
     bands.foldLeft(agged)((df, b) => df.withColumn(s"md_$b", col(s"__top.$b")))
       .drop("__top")
   }

@@ -56,6 +56,17 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("native i8_dot ≡ Column-algebra fold, every pair") {
+    val pairs = embs.select($"vec_id", Ann.quantizeI8($"embedding").as("a"))
+      .join(embs.select(($"vec_id" + 7).as("vec_id"),
+        Ann.quantizeI8($"embedding").as("b")), "vec_id")
+    val rows = pairs.select(
+      Ann.i8Dot($"a", $"b").as("n"), Ann.i8DotCols($"a", $"b").as("c"))
+      .as[(Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, c) => assert(n == c) }
+  }
+
   test("native ivf_cell expression ≡ reference UDF, every corpus row") {
     val centers = IvfIndex.trainQuantizer(embs, nlist = 16, seed = 42L, maxTrain = 1000)
     val both = embs.select($"vec_id",

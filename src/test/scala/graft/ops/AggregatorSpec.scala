@@ -65,6 +65,27 @@ class AggregatorSpec extends AnyFunSuite {
     assert(viaSpark == scalar) // sort-before-iterate ⇒ partition-order independent
   }
 
+  test("StructExtremum (hashed) ≡ max/min over struct, including null fields and strings") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map { i =>
+      (i % 37,                                       // group key
+        if (i % 11 == 0) null else s"s${rnd.nextInt(50)}%02d", // nullable string field
+        rnd.nextInt(1000).toLong, rnd.nextDouble(), i) // longs/doubles + unique tiebreak
+    }
+    val df = rows.toDF("k", "s", "l", "d", "id").repartition(7)
+    val packed = struct($"l", $"s", $"d", $"id")
+    val viaMax = df.groupBy("k").agg(max(packed).as("t"))
+      .select($"k", $"t.l", $"t.s", $"t.d", $"t.id").collect().toSet
+    val viaHashed = df.groupBy("k").agg(StructExtremum.structMax(packed).as("t"))
+      .select($"k", $"t.l", $"t.s", $"t.d", $"t.id").collect().toSet
+    assert(viaHashed == viaMax)
+    val viaMin = df.groupBy("k").agg(min(packed).as("t"))
+      .select($"k", $"t.l", $"t.s", $"t.d", $"t.id").collect().toSet
+    val viaHashedMin = df.groupBy("k").agg(StructExtremum.structMin(packed).as("t"))
+      .select($"k", $"t.l", $"t.s", $"t.d", $"t.id").collect().toSet
+    assert(viaHashedMin == viaMin)
+  }
+
   test("geomedian: weiszfeldFlat on the flat d-strided buffer is bit-identical to the boxed form") {
     val rnd = new scala.util.Random(31)
     val pts = (0 until 137).map { _ =>
