@@ -285,8 +285,12 @@ object Media {
     * GeoTiffSpec). */
   val geoTiffPayloadUdf = udf((ref: String) => {
     val (w, h) = bandDims(ref)
+    // zlevel 3, same rationale as multibandRoundtripUdf: every consumer
+    // (decode dims/features, the structural validator's three verdicts) is
+    // compression-level agnostic, the synthetic pixels are incompressible,
+    // and level 6 roughly doubles the deflate wall of the payload synth
     GeoTiff.encode(w, h, bandPixels(ref, w, h), nodata = 0,
-      tileSize = 16, overviewLevels = 2, zlevel = 6)
+      tileSize = 16, overviewLevels = 2, zlevel = 3)
   })
 
   /** REAL decode of a single-band GeoTIFF payload: CRC-free but

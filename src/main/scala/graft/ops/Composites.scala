@@ -153,21 +153,20 @@ object Composites {
    */
   def geomedoidComposite(px: DataFrame, keys: Seq[String], bands: Seq[String],
                          iters: Int = 32): DataFrame = {
-    val gm = px.groupBy(keys.map(col): _*)
-      .agg(GeomedianVec(iters, 0.0)(bands.map(col(_).cast("double")): _*).as("gm"))
-      .select(keys.map(col) ++ bands.indices.map(i =>
-        round(element_at(col("gm"), i + 1), 6).as(s"__c$i")): _*)
-    val ts = bands.zipWithIndex.map { case (b, i) =>
-      col(b).cast("double") - col(s"__c$i")
-    }
-    // ((t0·t0 + t1·t1) + t2·t2) — the oracle's exact association order
-    val d2 = ts.map(t => t * t).reduceLeft(_ + _)
-    val packed = struct(d2.as("__d2") +: bands.map(col): _*)
-    val agged = px.join(gm, keys)
-      .groupBy(keys.map(col): _*)
-      .agg(StructExtremum.structMin(packed).as("__top"))
-    bands.foldLeft(agged)((df, b) => df.withColumn(s"md_$b", col(s"__top.$b")))
-      .drop("__top")
+    // ONE buffered aggregation: [[GeomedoidVec]] runs the fixed-step
+    // geomedian AND the argmin over the buffered observations at finish —
+    // the former two-aggregation form (geomedian agg → re-join the pixel
+    // table → struct-min agg) scanned the pixel table twice and shipped it
+    // through a second aggregation just to re-see the same observations the
+    // geomedian buffer already held. Arithmetic is replicated op for op
+    // (6-dp HALF_UP center, ((t0²+t1²)+t2²) association, (d², bands…) tie
+    // order), so results — and the DuckDB oracle hashes — are unchanged.
+    val agged = px.groupBy(keys.map(col): _*)
+      .agg(GeomedoidVec(iters, 0.0)(bands.map(col(_).cast("double")): _*).as("__md"))
+    bands.zipWithIndex.foldLeft(agged) { case (df, (b, i)) =>
+      df.withColumn(s"md_$b",
+        element_at(col("__md"), i + 1).cast(px.schema(b).dataType))
+    }.drop("__md")
   }
 
   /** DuckDB twin of [[geomedoidComposite]]: the shared Weiszfeld chain,
@@ -386,6 +385,103 @@ object GeomedianVec {
   def apply(maxIter: Int, tol: Double)(bands: Column*): Column =
     org.apache.spark.sql.GraftShims.column(
       new GeomedianVec(bands.map(org.apache.spark.sql.GraftShims.expression),
+        maxIter, tol).toAggregateExpression())
+}
+
+/**
+ * Geomedoid in ONE aggregation: same buffering as [[GeomedianVec]]
+ * (nodata/null observations dropped on input — the pixel-plane bands carry
+ * no −9999, so the candidate set equals the oracle's unfiltered `pts`);
+ * at finish, the fixed-step geomedian runs over the buffer, the center is
+ * rounded to 6 dp HALF_UP (Spark `round` semantics, the operator's defined
+ * parameterization), and the argmin over the SAME buffered observations is
+ * returned — distance `((t0²+t1²)+t2²)` in the Column form's association
+ * order, ties broken lexicographically on the band vector. Replaces a
+ * geomedian agg + pixel re-join + struct-min agg with one exchange and no
+ * second scan; values are arithmetically identical (AggregatorSpec).
+ */
+case class GeomedoidVec(bands: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                        maxIter: Int, tol: Double,
+                        mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[GmBuf] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types._
+
+  override def children: Seq[Expression] = bands
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (bands.forall(_.dataType == DoubleType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"geomedoid expects DOUBLE bands, got ${bands.map(_.dataType.simpleString).mkString(", ")}")
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "geomedoid"
+
+  override def createAggregationBuffer(): GmBuf = GmBuf.empty
+
+  // shared input path with GeomedianVec: a delegate instance provides the
+  // bound-reference getters and buffer ops, so the two stay bit-identical
+  @transient private lazy val in = GeomedianVec(bands, maxIter, tol)
+  override def update(b: GmBuf, row: InternalRow): GmBuf = in.update(b, row)
+  override def merge(a: GmBuf, b: GmBuf): GmBuf = a.absorb(b)
+  override def serialize(b: GmBuf): Array[Byte] = in.serialize(b)
+  override def deserialize(bytes: Array[Byte]): GmBuf = in.deserialize(bytes)
+
+  override def eval(b: GmBuf): Any = {
+    if (b.used == 0 || b.d == 0) return null
+    val gm = GeomedianAgg.weiszfeldFlat(b.data, b.d, b.used, maxIter, tol)
+    val d = b.d
+    val c = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      // Spark round(col, 6) on DoubleType: BigDecimal HALF_UP via valueOf
+      c(i) = java.math.BigDecimal.valueOf(gm(i))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      i += 1
+    }
+    val n = b.used / d
+    var best = -1
+    var bestD2 = 0.0
+    var p = 0
+    while (p < n) {
+      var d2 = 0.0 // ascending accumulation ≡ the reduceLeft association
+      var j = 0
+      while (j < d) { val t = b.data(p * d + j) - c(j); d2 += t * t; j += 1 }
+      val take =
+        if (best < 0) true
+        else if (d2 != bestD2) d2 < bestD2
+        else { // tie: lexicographic on the band vector (the struct order)
+          var j2 = 0
+          var cmp = 0
+          while (j2 < d && cmp == 0) {
+            cmp = java.lang.Double.compare(b.data(p * d + j2), b.data(best * d + j2))
+            j2 += 1
+          }
+          cmp < 0
+        }
+      if (take) { best = p; bestD2 = d2 }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate(d)(j => b.data(best * d + j)))
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): GeomedoidVec =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): GeomedoidVec =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[org.apache.spark.sql.catalyst.expressions.Expression]): GeomedoidVec =
+    copy(bands = newChildren)
+}
+
+object GeomedoidVec {
+  /** Column form: `geomedoid(maxIter, tol)(blue, nir, red)` — the observed
+    * band vector nearest the 6-dp-rounded fixed-step geomedian. */
+  def apply(maxIter: Int, tol: Double)(bands: Column*): Column =
+    org.apache.spark.sql.GraftShims.column(
+      new GeomedoidVec(bands.map(org.apache.spark.sql.GraftShims.expression),
         maxIter, tol).toAggregateExpression())
 }
 
