@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
  * shuffle carries k rows instead of the full candidate set — the map-side
  * combine a window `row_number` ranking cannot do. Order is total
  * (ties by id), so results are deterministic and oracle-exact.
+ *
+ * This udaf-bridge form is the PARITY REFERENCE (AnnSpec pins the native
+ * [[TopKRows]] against it); the query paths use [[TopKRows]], which keeps
+ * the same state in primitive arrays without per-row tuple boxing.
  */
 class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   private def insert(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = {
@@ -108,11 +112,10 @@ object Ann {
       quantizeI8(col("embedding")).as("pq")))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       quantizeI8(col("embedding")).as("cq"))
-    val agg = udaf(new TopKAgg(k))
     explodeTopK(
       c.join(p, col("probe_id") =!= col("neighbor_id"))
         .withColumn("dot", i8Dot(col("pq"), col("cq")).cast("double"))
-        .groupBy("probe_id").agg(agg(col("dot"), col("neighbor_id")).as("top")),
+        .groupBy("probe_id").agg(TopKRows.topK(k, col("dot"), col("neighbor_id")).as("top")),
       "dot")
       .withColumn("dot", col("dot").cast("long"))
   }
@@ -133,11 +136,10 @@ object Ann {
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val agg = udaf(new TopKAgg(k))
     explodeTopK(
       c.join(p, col("probe_id") =!= col("neighbor_id")) // all pairs except self
         .withColumn("sim", cosine(col("pe"), col("ce")))
-        .groupBy("probe_id").agg(agg(col("sim"), col("neighbor_id")).as("top")),
+        .groupBy("probe_id").agg(TopKRows.topK(k, col("sim"), col("neighbor_id")).as("top")),
       "sim")
   }
 
@@ -147,11 +149,10 @@ object Ann {
   def quantizedDotTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val agg = udaf(new TopKAgg(k))
     explodeTopK(
       c.join(p, col("probe_id") =!= col("neighbor_id"))
         .withColumn("dot", quantizedDot(col("pe"), col("ce")))
-        .groupBy("probe_id").agg(agg(col("dot"), col("neighbor_id")).as("top")),
+        .groupBy("probe_id").agg(TopKRows.topK(k, col("dot"), col("neighbor_id")).as("top")),
       "dot")
       .withColumn("dot", col("dot").cast("long"))
   }
@@ -335,7 +336,6 @@ object Ann {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
       .withColumn("bks", bu(col("ce")))
       .select(col("neighbor_id"), col("ce"), posexplode(col("bks")).as(Seq("t", "bk")))
-    val agg = udaf(new TopKAgg(k))
     explodeTopK(
       c.join(p, Seq("t", "bk"))
         .where(col("probe_id") =!= col("neighbor_id"))
@@ -346,7 +346,7 @@ object Ann {
         .withColumn("sim", cosine(col("pe"), col("ce")))
         .groupBy(col("probe_id"), col("neighbor_id")) // dedup multi-table hits
         .agg(first(col("sim")).as("sim"))
-        .groupBy("probe_id").agg(agg(col("sim"), col("neighbor_id")).as("top")),
+        .groupBy("probe_id").agg(TopKRows.topK(k, col("sim"), col("neighbor_id")).as("top")),
       "sim")
   }
 
@@ -371,7 +371,6 @@ object Ann {
       .withColumn("cell", IvfIndex.assignColumn(centers)(col("ce")))
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       .withColumn("cell", explode(IvfIndex.probeCellsUdf(centers, nprobe)(col("pe")))))
-    val agg = udaf(new TopKAgg(k))
     // no per-pair dedup stage: every corpus row is assigned to exactly ONE
     // cell, so the cell equi-join can produce a given (probe, neighbor)
     // pair at most once — the former groupBy(probe_id, neighbor_id) was a
@@ -381,7 +380,7 @@ object Ann {
       posts.join(p, Seq("cell"))
         .where(col("probe_id") =!= col("neighbor_id"))
         .withColumn("sim", cosine(col("pe"), col("ce")))
-        .groupBy("probe_id").agg(agg(col("sim"), col("neighbor_id")).as("top")),
+        .groupBy("probe_id").agg(TopKRows.topK(k, col("sim"), col("neighbor_id")).as("top")),
       "sim")
   }
 

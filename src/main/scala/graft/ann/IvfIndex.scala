@@ -157,14 +157,13 @@ object IvfIndex {
     val cells = p.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val posts = spark.read.parquet(s"$path/posts")
       .where(col("cell").isin(cells.map(Integer.valueOf): _*))
-    val agg = udaf(new TopKAgg(k))
     // one-cell-per-corpus-row ⇒ (probe, neighbor) pairs are already unique
     // off the cell join; see Ann.ivfTopK — no dedup exchange needed
     Ann.explodeTopKPairs(
       posts.join(p, Seq("cell"))
         .where(col("probe_id") =!= col("neighbor_id"))
         .withColumn("sim", Ann.cosine(col("pe"), col("ce")))
-        .groupBy("probe_id").agg(agg(col("sim"), col("neighbor_id")).as("top")),
+        .groupBy("probe_id").agg(TopKRows.topK(k, col("sim"), col("neighbor_id")).as("top")),
       "sim")
   }
 }

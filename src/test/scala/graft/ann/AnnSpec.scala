@@ -101,6 +101,30 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("native top_k_rows ≡ udaf(TopKAgg) — values, order, ties and schema") {
+    // adversarial shapes: many tied scores across ids (total order must
+    // break ties by id asc), groups larger and smaller than k, and enough
+    // partitions that the partial/merge path actually runs
+    val k = 5
+    val rows = (0 until 2000).map { i =>
+      val grp = i % 37
+      val score = ((i * 2654435761L) % 13).toDouble / 7.0 // heavy ties
+      (grp.toLong, score, i.toLong)
+    }
+    val df = rows.toDF("probe_id", "sim", "neighbor_id").repartition(8)
+    val ref = df.groupBy("probe_id")
+      .agg(udaf(new TopKAgg(k)).apply($"sim", $"neighbor_id").as("top"))
+    val nat = df.groupBy("probe_id")
+      .agg(TopKRows.topK(k, $"sim", $"neighbor_id").as("top"))
+    assert(nat.schema == ref.schema,
+      s"schema drift: ${nat.schema.catalogString} vs ${ref.schema.catalogString}")
+    def flat(d: org.apache.spark.sql.DataFrame) =
+      d.select($"probe_id", posexplode($"top").as(Seq("i", "t")))
+        .select($"probe_id", $"i", $"t._1".as("s"), $"t._2".as("id"))
+        .as[(Long, Int, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(flat(nat) == flat(ref))
+  }
+
   test("native kernels reject non-float arrays at analysis (no silent memory misread)") {
     // array<double> through getFloat would silently read garbage — the type
     // check must fail the query at analysis time instead
