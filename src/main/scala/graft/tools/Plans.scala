@@ -96,10 +96,12 @@ object Plans {
       capture(graft.ann.IvfIndex.probe(spark, ivfDir,
         embsTbl.where(col("vec_id") < 20), k = 3, nprobe = 4))))
 
-    // geomedoid: two pixel-key aggregations, argmin via struct-min partial agg
-    sections += (("px_geomedoid (geomedian → observed-argmin)",
-      "two shuffles, both on the pixel key; the argmin is a partial-aggregated " +
-        "lexicographic struct min (map-side combinable), never a window over observations",
+    // geomedoid: ONE pixel-key aggregation (r7) — the geomedian buffer already
+    // holds every observation the argmin needs, so finish runs both
+    sections += (("px_geomedoid (single-aggregation geomedian + observed-argmin)",
+      "one scan, one pixel-key exchange, zero sorts and zero joins: the " +
+        "fixed-step geomedian AND the observed-point argmin both run at the " +
+        "aggregate's finish over the same buffered observations",
       capture(graft.SparkEntry.queries("px_geomedoid")(spark, sfDir))))
 
     // ml_water: forest prediction as pure Column algebra
